@@ -1,0 +1,116 @@
+"""Stage checkpointing with per-partition lineage + metrics + resume.
+
+North-rule requirement: "resumable from checkpoint with per-partition
+lineage + metrics". The reference's only checkpoint mechanism is
+skip-if-output-file-exists (reference corpus.py:497, topic_modeling.py:69);
+here every stage writes a parquet table (stand-in for Iceberg — the
+Iceberg runtime jar is not in this sandbox; the writer API is isolated in
+``_write`` so swapping ``df.writeTo(table).createOrReplace()`` in is a
+one-liner) plus a JSON manifest recording row counts per partition and a
+schema fingerprint. ``run_stage`` skips recompute when a valid manifest
+exists — the DAG resumes mid-pipeline after a crash.
+
+Lineage columns: each checkpointed table carries ``_stage`` and
+``_partition_id`` (spark_partition_id at write time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_kargo_manifest.json"
+
+
+@dataclass
+class StageResult:
+    name: str
+    path: str
+    rows: int
+    seconds: float
+    resumed: bool
+    partitions: dict[str, int] = field(default_factory=dict)
+
+
+class CheckpointRunner:
+    """Chains DataFrame stages with parquet checkpoints + resume."""
+
+    def __init__(self, spark: SparkSession, root: str, resume: bool = True):
+        self.spark = spark
+        self.root = root
+        self.resume = resume
+        self.results: list[StageResult] = []
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._dir(name), MANIFEST)
+
+    def is_done(self, name: str) -> bool:
+        mp = self._manifest_path(name)
+        if not os.path.exists(mp):
+            return False
+        try:
+            with open(mp) as f:
+                m = json.load(f)
+            return m.get("status") == "complete"
+        except (json.JSONDecodeError, OSError):
+            return False
+
+    def run_stage(self, name: str, fn: Callable[[], DataFrame]) -> DataFrame:
+        """Compute-or-load a stage. ``fn`` is only invoked on a cache miss,
+        so resumed runs never even build the upstream plan."""
+        path = self._dir(name)
+        t0 = time.time()
+        if self.resume and self.is_done(name):
+            df = self.spark.read.parquet(path)
+            with open(self._manifest_path(name)) as f:
+                m = json.load(f)
+            self.results.append(
+                StageResult(name, path, m["rows"], time.time() - t0, True, m["partitions"])
+            )
+            return df.drop("_stage", "_partition_id")
+        df = fn()
+        out = df.withColumn("_stage", F.lit(name)).withColumn(
+            "_partition_id", F.spark_partition_id()
+        )
+        out.write.mode("overwrite").parquet(path)
+        written = self.spark.read.parquet(path)
+        pcounts = {
+            str(r["_partition_id"]): r["n"]
+            for r in written.groupBy("_partition_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        rows = sum(pcounts.values())
+        manifest = {
+            "status": "complete",
+            "stage": name,
+            "rows": rows,
+            "partitions": pcounts,
+            "schema": written.drop("_stage", "_partition_id").schema.simpleString(),
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "seconds": round(time.time() - t0, 3),
+        }
+        with open(self._manifest_path(name), "w") as f:
+            json.dump(manifest, f, indent=1)
+        self.results.append(StageResult(name, path, rows, time.time() - t0, False, pcounts))
+        return written.drop("_stage", "_partition_id")
+
+    def metrics(self) -> list[dict]:
+        return [
+            {
+                "stage": r.name,
+                "rows": r.rows,
+                "seconds": round(r.seconds, 3),
+                "resumed": r.resumed,
+                "n_partitions": len(r.partitions),
+            }
+            for r in self.results
+        ]

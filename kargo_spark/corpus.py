@@ -1,0 +1,121 @@
+"""Corpus layer: ingest & normalize (stage ``documents -> docs_clean``).
+
+Pure-Column reimplementation of the reference corpus semantics
+(reference: kargo/corpus.py — cited per function). Zero UDFs: everything
+here stays inside whole-stage codegen, filters/projections push down to
+the scan, and the only shuffle is the dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Curly quotes the reference replaces with ASCII (corpus.py:242-248:
+# unicodify replaces “ ” -> ", ‘ ’ -> ', newline -> space).
+_CURLY = "“”‘’\n"
+_ASCII = "\"\"''  "[:5]
+
+
+def unicodify(df: DataFrame, col: str = "content") -> DataFrame:
+    """ASCII-fold curly quotes and flatten newlines to spaces.
+
+    Parity: Corpus.unicodify (reference corpus.py:242-248).
+    """
+    return df.withColumn(col, F.translate(F.col(col), _CURLY, _ASCII))
+
+
+def with_doc_id(df: DataFrame, title_cols: tuple[str, ...] = ("repo", "path", "commit")) -> DataFrame:
+    """doc_id = last 6 hex chars of md5 of the document's title-proxy.
+
+    Parity: ``md5(title)[-6:]`` (reference corpus.py:259-260; same rule
+    re-derived at corpus.py:198-200, 399). For source-code rows the title
+    proxy is ``repo/path@commit``.
+    """
+    title = F.concat_ws("@", F.concat_ws("/", *[F.col(c) for c in title_cols[:-1]]), F.col(title_cols[-1]))
+    return df.withColumn("doc_id", F.substring(F.md5(title), -6, 6))
+
+
+def with_content_sha(df: DataFrame, col: str = "content") -> DataFrame:
+    """Per-row invariant column: sha2(content, 256) (BASELINE.json input_hint)."""
+    return df.withColumn("content_sha", F.sha2(F.col(col), 256))
+
+
+def dedup_documents(df: DataFrame, key_cols: list[str], order_col: str | None = None) -> DataFrame:
+    """Drop duplicate documents, first-wins.
+
+    Parity: URL-dedup (reference corpus.py:254-256 skips docs whose url was
+    already seen). The reference's "first" is file order; for determinism at
+    scale we order by an explicit column when given, else use a cheap
+    ``dropDuplicates`` (AQE handles the shuffle; any-wins is acceptable when
+    duplicate payloads are identical).
+    """
+    if order_col is None:
+        return df.dropDuplicates(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def filter_empty(df: DataFrame, col: str = "content") -> DataFrame:
+    """Remove documents with no content.
+
+    Parity: Corpus.filter_empty (reference corpus.py:315-322; test pins
+    102 -> 99 docs, tests/test_corpus.py:59-63).
+    """
+    return df.filter(F.length(F.trim(F.col(col))) > 0)
+
+
+def seeded_sample(df: DataFrame, n: int, seed: int = 1337, exclude_ids: DataFrame | None = None) -> DataFrame:
+    """Deterministic random sample of n docs, optionally excluding ids.
+
+    Parity: Corpus.get_sample (reference corpus.py:378-391) — but the
+    reference shuffles UNSEEDED (corpus.py:381); we pin the seed so runs
+    are reproducible (SURVEY.md §4 determinism requirement).
+    """
+    if exclude_ids is not None:
+        df = df.join(exclude_ids, "doc_id", "left_anti")
+    return df.orderBy(F.rand(seed)).limit(n)
+
+
+def train_test_split(df: DataFrame, test_size: float = 0.5, seed: int = 1337) -> tuple[DataFrame, DataFrame]:
+    """Exact-count seeded split: first len*test_size shuffled rows -> dev.
+
+    Parity: train_test_split (reference corpus.py:428-443, seed=1337).
+    Spark's randomSplit is Bernoulli (inexact); the reference split is
+    exact-count, so we rank by rand(seed) and cut at the quantile via a
+    row_number over a single global ordering. The global window is fine:
+    this is only used on corpus-sized (small) inputs; at 10^12 scale use
+    the hash-based ``hash_split`` below.
+    """
+    n = df.count()
+    k = int(n * test_size)
+    w = Window.orderBy(F.rand(seed), *[F.col(c) for c in df.columns[:1]])
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    dev = ranked.filter(F.col("__rn") <= k).drop("__rn")
+    test = ranked.filter(F.col("__rn") > k).drop("__rn")
+    return dev, test
+
+
+def hash_split(df: DataFrame, id_col: str, test_pct: int = 50, salt: str = "split") -> tuple[DataFrame, DataFrame]:
+    """Scale-path split: stable hash bucket of the id — no global sort, no
+    shuffle, deterministic across cluster sizes."""
+    bucket = F.pmod(F.abs(F.hash(F.col(id_col), F.lit(salt))), F.lit(100))
+    return df.filter(bucket < test_pct), df.filter(bucket >= test_pct)
+
+
+def docs_clean(df: DataFrame) -> DataFrame:
+    """The full ingest stage: dedup -> unicodify -> filter_empty -> ids.
+
+    Input:  (repo, path, commit, lang, content)  [BASELINE.json input_hint]
+    Output: + (doc_id, content_sha), duplicates and empty docs removed.
+    """
+    out = dedup_documents(df, ["repo", "path", "commit"])
+    out = unicodify(out)
+    out = filter_empty(out)
+    out = with_doc_id(out)
+    out = with_content_sha(out)
+    return out

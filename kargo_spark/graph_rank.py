@@ -1,0 +1,187 @@
+"""Graph-based term ranking.
+
+Two tiers, per the north-star ("co-occurrence PageRank computed
+per-partition then merged"):
+
+1. **Per-document rankers** (SingleRank / PositionRank / TextRank family —
+   reference: pke classes configured at main.py:122-141). Every document's
+   co-occurrence graph is tiny, so each runs partition-local inside
+   ``applyInPandas`` with a numpy power iteration — zero extra shuffles
+   beyond the groupBy(doc_id).
+
+2. **Corpus-level PageRank** over the global term co-occurrence graph:
+   edges as a DataFrame, partial (map-side) contribution aggregation per
+   iteration — the idiomatic Spark "compute per partition, merge" loop.
+   Used for global term salience / canonical-entity weighting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RANK_SCHEMA = "doc_id string, ngram string, term string, score double"
+
+_CAND_POS = {"NOUN", "PROPN", "ADJ", "NUM"}
+
+
+def _pagerank_numpy(adj: np.ndarray, personalization: np.ndarray | None = None,
+                    d: float = 0.85, iters: int = 50, tol: float = 1e-6) -> np.ndarray:
+    """Weighted PageRank power iteration on a dense doc-local matrix."""
+    n = adj.shape[0]
+    if n == 0:
+        return np.zeros(0)
+    out_w = adj.sum(axis=1)
+    out_w[out_w == 0] = 1.0
+    trans = adj / out_w[:, None]
+    if personalization is None:
+        p = np.full(n, 1.0 / n)
+    else:
+        p = personalization / max(personalization.sum(), 1e-12)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r_new = (1 - d) * p + d * (trans.T @ r)
+        if np.abs(r_new - r).sum() < tol:
+            r = r_new
+            break
+        r = r_new
+    return r
+
+
+def _doc_rank(pdf: pd.DataFrame, window: int, position_bias: bool) -> pd.DataFrame:
+    """SingleRank (position_bias=False) / PositionRank (True) for one doc.
+
+    Graph nodes = lowercased candidate-POS words; edges = co-occurrence
+    within ``window`` tokens (window=10 for SingleRank, main.py:123-128),
+    weighted by co-occurrence count. Candidate score = sum of member word
+    ranks (pke SingleRank semantics). PositionRank personalizes the
+    restart vector with 1/position of each word's occurrences.
+    """
+    doc_id = pdf["doc_id"].iloc[0]
+    toks = pdf.sort_values(["sentence_id", "token_id"])
+    mask = toks["pos"].isin(_CAND_POS).values
+    words = toks["word"].str.lower().values
+    seq_words = words[mask]
+    seq_glob_idx = np.flatnonzero(mask)
+    vocab = {w: i for i, w in enumerate(pd.unique(seq_words))}
+    n = len(vocab)
+    adj = np.zeros((n, n))
+    pers = np.zeros(n)
+    for i, (w, gi) in enumerate(zip(seq_words, seq_glob_idx)):
+        wi = vocab[w]
+        pers[wi] += 1.0 / (gi + 1)
+        j = i + 1
+        while j < len(seq_words) and seq_glob_idx[j] - gi < window:
+            wj = vocab[seq_words[j]]
+            if wj != wi:
+                adj[wi, wj] += 1.0
+                adj[wj, wi] += 1.0
+            j += 1
+    ranks = _pagerank_numpy(adj, pers if position_bias else None)
+    wscore = {w: ranks[i] for w, i in vocab.items()}
+    out = []
+    for ngram, term in (
+        pdf[["ngram", "term"]].dropna().drop_duplicates("ngram").itertuples(index=False)
+    ):
+        s = sum(wscore.get(w, 0.0) for w in term.split(" "))
+        out.append((doc_id, ngram, term, float(s)))
+    return pd.DataFrame(out, columns=["doc_id", "ngram", "term", "score"])
+
+
+def _make_rank_fn(window: int, position_bias: bool):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _doc_rank(pdf, window, position_bias)
+
+    return fn
+
+
+def _rank_input(tokens: DataFrame, cands: DataFrame) -> DataFrame:
+    """Union token stream with candidate rows (ngram/term nulls on tokens)
+    so one groupBy(doc_id) ships both to the ranker."""
+    tok_part = tokens.select(
+        "doc_id", "sentence_id", "token_id", "word", "pos",
+        F.lit(None).cast("string").alias("ngram"),
+        F.lit(None).cast("string").alias("term"),
+    )
+    cand_part = cands.select(
+        "doc_id",
+        F.lit(0).alias("sentence_id"),
+        F.lit(0).alias("token_id"),
+        F.lit("").alias("word"),
+        F.lit("").alias("pos"),
+        F.col("lemma_term").alias("ngram"),
+        "term",
+    ).dropDuplicates(["doc_id", "ngram"])
+    return tok_part.unionByName(cand_part)
+
+
+def single_rank(tokens: DataFrame, cands: DataFrame, window: int = 10) -> DataFrame:
+    return _rank_input(tokens, cands).groupBy("doc_id").applyInPandas(
+        _make_rank_fn(window, False), RANK_SCHEMA
+    )
+
+
+def position_rank(tokens: DataFrame, cands: DataFrame, window: int = 10) -> DataFrame:
+    return _rank_input(tokens, cands).groupBy("doc_id").applyInPandas(
+        _make_rank_fn(window, True), RANK_SCHEMA
+    )
+
+
+# --- corpus-level distributed PageRank ------------------------------------
+
+def cooccurrence_edges(cands: DataFrame) -> DataFrame:
+    """Global term co-occurrence edges: candidate terms sharing a sentence.
+
+    Self-join on (doc_id, sentence_id); hub-term skew is handled downstream
+    by the salted contribution aggregation in ``distributed_pagerank``.
+    """
+    a = cands.select("doc_id", "sentence_id", F.col("lemma_term").alias("src"))
+    b = cands.select("doc_id", "sentence_id", F.col("lemma_term").alias("dst"))
+    return (
+        a.join(b, ["doc_id", "sentence_id"])
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
+def distributed_pagerank(
+    edges: DataFrame, d: float = 0.85, iters: int = 10, salt_buckets: int = 8
+) -> DataFrame:
+    """PageRank over an undirected weighted edge DataFrame, pure DataFrame
+    ops: per-iteration map-side partial aggregation of contributions
+    (Catalyst's partial+final agg = the "per-partition then merged" merge),
+    with an explicit salted two-level aggregation so hub terms with huge
+    in-degree don't hot-spot one reducer.
+
+    Returns (ngram string, score double); scores sum to ~1.
+    """
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    out_w = sym.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    sym = sym.join(out_w, "src").withColumn("frac", F.col("weight") / F.col("out_w"))
+    sym = sym.select("src", "dst", "frac").persist()
+    vertices = sym.select(F.col("src").alias("ngram")).distinct().persist()
+    n = vertices.count()
+    ranks = vertices.withColumn("score", F.lit(1.0 / n))
+    for _ in range(iters):
+        contribs = (
+            sym.join(ranks.withColumnRenamed("ngram", "src"), "src")
+            .withColumn("salt", F.pmod(F.abs(F.hash("dst", "src")), F.lit(salt_buckets)))
+            .groupBy("dst", "salt")
+            .agg(F.sum(F.col("score") * F.col("frac")).alias("partial"))
+            .groupBy("dst")
+            .agg(F.sum("partial").alias("contrib"))
+        )
+        ranks = (
+            vertices.join(contribs.withColumnRenamed("dst", "ngram"), "ngram", "left")
+            .fillna({"contrib": 0.0})
+            .select("ngram", (F.lit((1 - d) / n) + F.lit(d) * F.col("contrib")).alias("score"))
+        )
+        # keep the lineage short: local[32] handles 10 iterations fine, but
+        # at cluster scale checkpoint every few iterations
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks

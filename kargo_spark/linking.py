@@ -1,0 +1,127 @@
+"""Entity canonicalization + embedding-similarity entity linking.
+
+North-star requirement (BASELINE.json): "mention detection +
+embedding-similarity entity linking, and string/embedding canonicalization".
+The reference has no surviving linking code; semantics follow its identity
+rules (term identity = lowercased surface, evaluation.py:40-42; pair
+identity = lowercased "head|tail", SURVEY.md §1.3).
+
+Design:
+* ``canonical_entities`` — string canonicalization: lower/trim/space-fold +
+  naive singularization; canonical id = min doc-frequency-weighted surface.
+* ``link_mentions`` — embedding-similarity top-1 linking, LSH-bucket
+  blocked so it never goes quadratic: mentions and entities hash into the
+  same random-hyperplane buckets; cosine verify within bucket; ties broken
+  deterministically. A mention with no in-bucket entity above the threshold
+  stays unlinked (NULL entity_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .clustering import _lsh_buckets
+from .embedding import cosine_expr, make_embedder
+
+
+def normalize_surface(col):
+    """lower + trim + whitespace-fold + strip trailing plural 's' per word."""
+    c = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.array_join(
+        F.transform(
+            F.split(c, " "),
+            lambda w: F.when(
+                (F.length(w) > 3) & w.endswith("s") & ~w.endswith("ss"),
+                F.substring(w, 1, F.length(w) - 1),
+            ).otherwise(w),
+        ),
+        " ",
+    )
+
+
+def canonical_entities(mentions: DataFrame, term_col: str = "term") -> DataFrame:
+    """Canonical entity table from mention surfaces.
+
+    entity_id = md5 of the normalized form; canonical surface = the most
+    frequent raw surface per normalized form (deterministic max_by with
+    surface tiebreak).
+    """
+    norm = mentions.select(
+        F.col(term_col).alias("surface"),
+        normalize_surface(F.col(term_col)).alias("norm"),
+    )
+    surface_counts = norm.groupBy("norm", "surface").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("norm").orderBy(F.desc("cnt"), "surface")
+    return (
+        surface_counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.substring(F.md5("norm"), -12, 12).alias("entity_id"),
+            F.col("norm"),
+            F.col("surface").alias("canonical"),
+            F.col("cnt").alias("support"),
+        )
+    )
+
+
+def link_mentions(
+    mentions: DataFrame,
+    entities: DataFrame,
+    term_col: str = "term",
+    threshold: float = 0.6,
+    dim: int = 64,
+    n_planes: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-similarity top-1 entity linking, LSH-blocked.
+
+    Exact-normalized matches link directly (cheap path, equi-join); the
+    remainder link by max-cosine within shared LSH buckets (3 tables).
+    Output = mentions + (entity_id, link_sim, link_kind).
+    """
+    embed = make_embedder(dim=dim, seed=seed)
+    m = mentions.withColumn("__norm", normalize_surface(F.col(term_col)))
+    # cheap path: exact normalized match
+    exact = m.join(
+        entities.select(F.col("norm").alias("__norm"), "entity_id"), "__norm", "left"
+    )
+    hit = exact.filter(F.col("entity_id").isNotNull()).withColumn(
+        "link_sim", F.lit(1.0)
+    ).withColumn("link_kind", F.lit("exact"))
+    miss = exact.filter(F.col("entity_id").isNull()).drop("entity_id")
+    if miss.isEmpty():
+        return hit.drop("__norm")
+    # embedding path, LSH-blocked
+    ent_v = entities.select(
+        "entity_id", F.col("norm").alias("__enorm")
+    ).withColumn("evec", embed(F.col("__enorm")))
+    miss_v = miss.withColumn("mvec", embed(F.col("__norm")))
+    mb, eb = None, None
+    for t in range(3):
+        mb_t = _lsh_buckets(
+            miss_v.select("doc_id", term_col, "__norm", "mvec").dropDuplicates(["__norm"]),
+            "mvec", n_planes, seed + 31 * t, dim,
+        ).withColumn("table", F.lit(t))
+        eb_t = _lsh_buckets(ent_v, "evec", n_planes, seed + 31 * t, dim).withColumn(
+            "table", F.lit(t)
+        )
+        mb = mb_t if mb is None else mb.unionByName(mb_t)
+        eb = eb_t if eb is None else eb.unionByName(eb_t)
+    cand = (
+        mb.join(eb, ["table", "bucket"])
+        .withColumn("sim", cosine_expr(F.col("mvec"), F.col("evec")))
+        .filter(F.col("sim") >= threshold)
+    )
+    w = Window.partitionBy("__norm").orderBy(F.desc("sim"), "entity_id")
+    best = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__norm", "entity_id", F.col("sim").alias("link_sim"))
+    )
+    linked_miss = (
+        miss.join(best, "__norm", "left")
+        .withColumn("link_kind", F.when(F.col("entity_id").isNotNull(), "embedding"))
+        .withColumn("link_sim", F.col("link_sim"))
+    )
+    return hit.drop("__norm").unionByName(linked_miss.drop("__norm"))

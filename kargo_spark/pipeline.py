@@ -1,0 +1,133 @@
+"""End-to-end KG-construction pipeline (the reference's main.py:202-209
+stage chain, re-expressed as a checkpointed Spark DAG).
+
+    documents -> docs_clean -> tokens -> sentences -> candidates
+      -> df_counts -> term_scores(ranker) -> terms_topk -> mentions
+      -> pairs -> pair_vectors -> clusters -> triples (+ entities, links)
+
+Every stage checkpoints via ``CheckpointRunner`` (parquet + manifest +
+per-partition lineage), so a killed run resumes where it stopped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import candidates as C
+from . import corpus, nlp, relations, weighting
+from .checkpointing import CheckpointRunner
+from .clustering import dbscan_exact, dbscan_scalable
+from .embedding import make_embedder
+from .linking import canonical_entities, link_mentions
+from .skew import size_bucketed
+
+
+RANKERS = ("tfidf", "kpminer", "yake", "singlerank", "positionrank")
+
+
+def rank_scores(ranker: str, tokens: DataFrame, cands: DataFrame,
+                df_tab: DataFrame, n_docs: int) -> DataFrame:
+    from . import graph_rank
+
+    prepared = cands.withColumn("ngram", F.col("lemma_term"))
+    if ranker == "tfidf":
+        return weighting.tfidf_scores(cands, df_tab, n_docs)
+    if ranker == "kpminer":
+        return weighting.kpminer_scores(cands, df_tab, n_docs, lasf=2, cutoff=10_000)
+    if ranker == "yake":
+        return weighting.yake_scores(prepared)
+    if ranker == "singlerank":
+        return graph_rank.single_rank(tokens, cands)
+    if ranker == "positionrank":
+        return graph_rank.position_rank(tokens, cands)
+    raise ValueError(f"unknown ranker {ranker!r}")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    workdir: str,
+    ranker: str = "tfidf",
+    n_terms: int = 15,
+    cluster_relations: bool = True,
+    eps: float = 0.35,
+    min_samples: int = 3,
+    scalable_clustering: bool = False,
+    resume: bool = True,
+) -> dict[str, DataFrame]:
+    """Run the full DAG; returns every stage table by name."""
+    ck = CheckpointRunner(spark, workdir, resume=resume)
+
+    docs_clean = ck.run_stage("docs_clean", lambda: corpus.docs_clean(documents))
+    tokens = ck.run_stage(
+        "tokens",
+        lambda: nlp.tokenize(size_bucketed(docs_clean, "content")),
+    )
+    sentences = nlp.sentences_with_tokens(tokens)  # cheap regroup, not checkpointed
+    cands = ck.run_stage(
+        "candidates",
+        lambda: C.filter_candidates(C.mine_candidates(sentences), stopwords=C.DEFAULT_STOPWORDS),
+    )
+    df_tab = ck.run_stage(
+        "df_counts", lambda: weighting.document_frequency(cands)[0]
+    )
+    n_docs = docs_clean.count()
+    scores = ck.run_stage(
+        "term_scores", lambda: rank_scores(ranker, tokens, cands, df_tab, n_docs)
+    )
+    topk = ck.run_stage("terms_topk", lambda: weighting.top_k_terms(scores, k=n_terms))
+    ments = ck.run_stage("mentions", lambda: relations.mentions(cands, topk))
+    prs = ck.run_stage("pairs", lambda: relations.pairs(ments, sentences))
+
+    if cluster_relations:
+        embed = make_embedder()
+        def make_vectors() -> DataFrame:
+            ctx = prs.select(
+                F.concat_ws(" | ", "head", "in_between_words", "tail").alias("context"),
+                "doc_id", "sentence_id", "cooc_no", "head", "tail",
+            ).withColumn(
+                "vec_id",
+                F.abs(F.xxhash64("doc_id", "sentence_id", "cooc_no")),
+            )
+            return ctx.withColumn("vec", embed(F.col("context")))
+        vectors = ck.run_stage("pair_vectors", make_vectors)
+        cluster_fn = dbscan_scalable if scalable_clustering else dbscan_exact
+        clusters = ck.run_stage(
+            "clusters",
+            lambda: cluster_fn(vectors.select("vec_id", "vec"), eps=eps, min_samples=min_samples),
+        )
+        labeled = vectors.join(clusters, "vec_id", "left").fillna({"cluster": -1})
+        triple_src = labeled.withColumn(
+            "pred", F.concat(F.lit("rel_"), F.col("cluster").cast("string"))
+        )
+        triples = ck.run_stage(
+            "triples", lambda: relations.triples_from_pairs(triple_src, pred_col="pred")
+        )
+    else:
+        triples = ck.run_stage("triples", lambda: relations.triples_from_pairs(prs))
+
+    entities = ck.run_stage("entities", lambda: canonical_entities(ments))
+    links = ck.run_stage(
+        "links",
+        lambda: link_mentions(
+            ments.select("doc_id", "term").dropDuplicates(), entities
+        ),
+    )
+    return {
+        "docs_clean": docs_clean,
+        "tokens": tokens,
+        "candidates": cands,
+        "df_counts": df_tab,
+        "term_scores": scores,
+        "terms_topk": topk,
+        "mentions": ments,
+        "pairs": prs,
+        "triples": triples,
+        "entities": entities,
+        "links": links,
+        "metrics": spark.createDataFrame(
+            [(m["stage"], m["rows"], m["seconds"], m["resumed"]) for m in ck.metrics()],
+            "stage string, rows long, seconds double, resumed boolean",
+        ),
+    }

@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults chosen for the sandbox (single JVM, ``local[N]``) but
+every knob is the one you would set on a real cluster too: AQE for runtime
+re-planning and skew-join splitting, Arrow for the pandas-UDF stages,
+bounded Arrow batch sizes so one giant document cannot blow up an executor
+(BASELINE.json north_star: "size-bucketed Arrow batches").
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+# Executor Python workers are separate processes: they see PYTHONPATH, not
+# the driver's sys.path. On a real cluster the package ships via
+# ``spark-submit --py-files kargo_spark.zip``; in local mode we export the
+# package's parent dir before the JVM starts so forked workers import it.
+_PKG_PARENT = str(Path(__file__).resolve().parent.parent)
+if _PKG_PARENT not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = (
+        _PKG_PARENT + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+# Cap rows per Arrow batch entering pandas UDFs: with size-bucketed
+# repartitioning (see skew.py) this bounds per-batch bytes even when
+# content lengths are heavy-tailed.
+ARROW_MAX_RECORDS = 2048
+
+
+def get_spark(
+    app_name: str = "kargo_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard config."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("KARGO_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
+        .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.PYTHONPATH", _PKG_PARENT)
+        .config("spark.driver.memory", os.environ.get("KARGO_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

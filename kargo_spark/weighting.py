@@ -1,0 +1,181 @@
+"""Statistical term weighting: ``candidates -> df_counts -> term_scores``.
+
+TF-IDF and KPMiner are pure Column math over a broadcast document-frequency
+table (reference: pke TfIdf / KPMiner driven at main.py:107-114; DF table
+built by ``compute_document_frequency`` at main.py:91-94 with the
+``--NB_DOC--`` sentinel row — here the sentinel becomes a scalar).
+YAKE's per-word statistical features are doc-local, so they run per
+document inside ``applyInPandas`` (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def document_frequency(cands: DataFrame, term_col: str = "lemma_term") -> tuple[DataFrame, int]:
+    """DF table: #docs containing each candidate n-gram, plus N (doc count).
+
+    Parity: pke compute_document_frequency (main.py:91-94); the
+    ``--NB_DOC--`` sentinel (data/interim/cargo_df.tsv.gz row 1) is
+    returned as the scalar ``n_docs``. Catalyst gives partial+final agg.
+    """
+    df_tab = (
+        cands.groupBy(F.col(term_col).alias("ngram"))
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    n_docs = cands.select(F.countDistinct("doc_id").alias("n")).collect()[0]["n"]
+    return df_tab, int(n_docs)
+
+
+def tf_table(cands: DataFrame, term_col: str = "lemma_term") -> DataFrame:
+    """Per-(doc, term) occurrence counts + surface form + first offset."""
+    return cands.groupBy("doc_id", F.col(term_col).alias("ngram")).agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.min("offset_begin").alias("first_offset"),
+        F.min_by("term", "offset_begin").alias("surface"),
+    )
+
+
+def tfidf_scores(cands: DataFrame, df_tab: DataFrame, n_docs: int) -> DataFrame:
+    """score = tf * log2(N / df) — pke TfIdf parity (main.py:107-110).
+
+    The DF table is broadcast: it is vocabulary-sized (millions of rows at
+    most), far smaller than the candidate-occurrence table, so the join is
+    map-side at any corpus scale. Unseen n-grams get df=1 (pke fallback).
+    """
+    tf = tf_table(cands)
+    joined = tf.join(F.broadcast(df_tab), "ngram", "left").fillna({"df": 1})
+    return joined.select(
+        "doc_id",
+        "ngram",
+        F.col("surface").alias("term"),
+        (F.col("tf") * F.log2(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    )
+
+
+def kpminer_scores(
+    cands: DataFrame,
+    df_tab: DataFrame,
+    n_docs: int,
+    lasf: int = 3,
+    cutoff: int = 400,
+    sigma: float = 3.0,
+    alpha: float = 2.3,
+) -> DataFrame:
+    """KPMiner-parity weighting (pke KPMiner, main.py:111-114).
+
+    Candidates must be seen >= lasf times in the doc and first appear
+    within ``cutoff`` chars; score = tf * boost * idf where the boost
+    factor B = min(|N_d| / (|P_d| * alpha), sigma) uses doc-local counts
+    (N_d = all candidate occurrences, P_d = multi-word ones) — computed
+    with a window, no extra shuffle beyond the tf groupBy.
+    """
+    tf = tf_table(cands)
+    nw = cands.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum((F.col("n_words") > 1).cast("long")).alias("n_multi"),
+    )
+    filtered = tf.filter((F.col("tf") >= lasf) & (F.col("first_offset") <= cutoff))
+    joined = (
+        filtered.join(F.broadcast(df_tab), "ngram", "left")
+        .fillna({"df": 1})
+        .join(F.broadcast(nw), "doc_id")
+    )
+    boost = F.least(
+        F.col("n_all") / (F.greatest(F.col("n_multi"), F.lit(1)) * F.lit(alpha)),
+        F.lit(sigma),
+    )
+    return joined.select(
+        "doc_id",
+        "ngram",
+        F.col("surface").alias("term"),
+        (F.col("tf") * boost * F.log2(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    )
+
+
+# --- YAKE (doc-local statistical features, applyInPandas) -----------------
+
+YAKE_SCHEMA = "doc_id string, ngram string, term string, score double"
+
+
+def _yake_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Simplified YAKE per document (pke YAKE, main.py:115-121): per-word
+    features — normalized frequency, position, sentence spread — composed
+    into word scores; candidate score = prod(word scores) /
+    (tf * (1 + sum(word scores))). Lower is better in YAKE; we negate so
+    every ranker in the engine is max-is-best."""
+    doc_id = pdf["doc_id"].iloc[0]
+    words = pdf["word_lower"].values
+    sents = pdf["sentence_id"].values
+    n_sents = max(1, int(sents.max()))
+    stats: dict[str, list] = {}
+    for w, s, i in zip(words, sents, range(len(words))):
+        st = stats.setdefault(w, [0, [], set()])
+        st[0] += 1
+        st[1].append(i)
+        st[2].add(int(s))
+    freqs = np.array([v[0] for v in stats.values()], dtype=float)
+    mean_f, std_f = freqs.mean(), freqs.std() or 1.0
+    max_f = freqs.max()
+    wscore = {}
+    for w, (tf_w, positions, sset) in stats.items():
+        t_pos = np.log(np.log(3 + np.median(positions)))
+        t_freq = tf_w / (mean_f + std_f)
+        t_spread = len(sset) / n_sents
+        wscore[w] = t_pos / max(1e-9, (t_freq / max_f * (1 + t_spread)))
+    out = []
+    cand = pdf[["ngram", "term"]].drop_duplicates("ngram")
+    cnt = pdf.groupby("ngram")["term"].count()
+    for ngram, term in zip(cand["ngram"].values, cand["term"].values):
+        ws = [wscore.get(w, 1.0) for w in term.split(" ")]
+        tf_c = int(cnt[ngram])
+        s = float(np.prod(ws) / (tf_c * (1 + sum(ws))))
+        out.append((doc_id, ngram, term, -s))
+    return pd.DataFrame(out, columns=["doc_id", "ngram", "term", "score"])
+
+
+def yake_scores(cands: DataFrame) -> DataFrame:
+    """YAKE over candidate occurrences; doc-local -> one shuffle on doc_id."""
+    prepared = cands.select(
+        "doc_id", "sentence_id", "ngram" if "ngram" in cands.columns else F.col("lemma_term").alias("ngram"),
+        "term", F.lower(F.col("term")).alias("word_lower"),
+    )
+    return prepared.groupBy("doc_id").applyInPandas(_yake_doc, YAKE_SCHEMA)
+
+
+def top_k_terms(scores: DataFrame, k: int = 15) -> DataFrame:
+    """Keep the k best-scored candidates per doc with explicit rank.
+
+    Parity: ``extractor.get_n_best(n_term)`` (reference terms.py:171,
+    n=15 at main.py:96). Ties broken by term for determinism.
+    """
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("ngram"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def terms_csv_shape(topk: DataFrame) -> DataFrame:
+    """Export shape: (document_id, '|'-joined rank-ordered terms).
+
+    Parity: TermsExtractor.write_terms_to (reference terms.py:26-34).
+    """
+    return (
+        topk.groupBy(F.col("doc_id").alias("document_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rank", "term"))),
+                    lambda s: s["term"],
+                ),
+                "|",
+            ).alias("terms")
+        )
+    )
