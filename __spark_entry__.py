@@ -1,38 +1,732 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction slice on sf0.001;
+``queries()`` exposes one DataFrame-producing callable per implemented
+operator from SURVEY.md §2 (+ the training-data-pipeline ops);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query (same column names, floats rounded identically on
+both sides so the driver's order-insensitive value hash matches).
+
+Queries without an oracle entry (per-doc graph rankers, YAKE, DBSCAN,
+MinHash/SimHash LSH, multimodal features) get the driver's rows-only check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+SF0001 = "/root/testdata/sf0.001"
+
+# Tokenization shared by Spark queries and DuckDB oracles: lowercase,
+# split on non-alphanumeric, drop empties.
+_SPLIT_RE = r"[^a-z0-9]+"
+
+
+def _toks(col):
+    return F.filter(F.split(F.lower(col), _SPLIT_RE), lambda t: t != "")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the KG slice on sf0.001 documents — tokenize, mine noun-ish
+    terms, tf-idf rank, top-5 per doc, pair adjacent mentions, emit
+    deduplicated triples with support."""
+    return q_triples_agg(spark, SF0001)
 
+
+# ---------------------------------------------------------------------------
+# Corpus layer (SURVEY §2.1-2.2)
+# ---------------------------------------------------------------------------
+
+def q_docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_empty + md5 doc id + projection (corpus.py:259-260, 315-322)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.substring(F.md5(F.col("doc_id").cast("string")), -6, 6).alias("doc_hex"),
+            F.sha2("text", 256).alias("content_sha"),
+            "lang",
+            "source",
+            F.size(_toks(F.col("text"))).cast("long").alias("n_words"),
+        )
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash, first(min-id)-wins (corpus.py:254-256)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.withColumn("h", F.sha2("text", 256))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .select("keep_id", "dup_count")
+    )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic split (seeded-sample stand-in, corpus.py:378-391/428-443):
+    md5-bucket of doc_id -> dev/test tag + per-split counts."""
+    d = _docs(spark, sf_dir)
+    bucket = F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#split"))), 1, 4), 16, 10).cast("long") % 100
+    return (
+        d.select(F.when(bucket < 20, F.lit("dev")).otherwise(F.lit("test")).alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+def q_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DF table: #docs containing each word (pke compute_document_frequency,
+    main.py:91-94); words seen in >= 2 docs."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(_toks(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+    )
+
+
+def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.explode(_toks(F.col("text"))).alias("word"))
+        .filter(F.length("word") >= 3)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf scoring + top-5 window (pke TfIdf main.py:107-110 +
+    get_n_best terms.py:171): score = tf * log2(N/df)."""
+    tf = _tf(spark, sf_dir)
+    dfreq = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.array_distinct(_toks(F.col("text")))).alias("word"))
+        .filter(F.length("word") >= 3)
+        .groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    n_docs = _docs(spark, sf_dir).count()
+    scored = tf.join(F.broadcast(dfreq), "word").select(
+        "doc_id", "word",
+        F.round(F.col("tf") * F.log2(F.lit(float(n_docs)) / F.col("df")), 6).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "word", F.round("score", 4).alias("score"), "rank")
+    )
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus summary stats per doc (get_summary corpus.py:603-669)."""
+    d = _docs(spark, sf_dir)
+    toks = _toks(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("mean_word_len"),
+    )
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour aggregation over the events table (batch analog of the
+    streaming window agg; SURVEY §2.8 notes reference is batch-only)."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>30min cumulative session ids per user."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800
+    sess = F.sum(F.when(gap, 1).otherwise(0)).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        e.withColumn("session_id", sess)
+        .groupBy("user_id")
+        .agg(
+            (F.max("session_id") + 1).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins / set ops (SURVEY §2.3, §2.6)
+# ---------------------------------------------------------------------------
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (get_more_sample corpus.py:393-401 semantics): customers
+    with no orders, counted per nation."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (get_documents_by_ids corpus.py:403-408): suppliers that
+    ship any lineitem, per nation."""
+    s = _read(spark, sf_dir, "supplier")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        s.join(li, s["s_suppkey"] == li["l_suppkey"], "left_semi")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
+def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice per customer (top-n window, terms.py:171
+    shape) over TPC-H orders."""
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relation pipeline ops (SURVEY §2.3 pair join, §2.4 triple dedup)
+# ---------------------------------------------------------------------------
+
+def _word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.posexplode(_toks(F.col("text"))).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+
+
+def q_cooc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-mention pairing with cooc_no ordinal (reconstructed relation
+    semantics, SURVEY §2.3 'Term pairs'): mentions = words of length >= 6,
+    pairs = consecutive mentions by position."""
+    wp = _word_positions(spark, sf_dir).filter(F.length("word") >= 6)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        wp.select(
+            "doc_id",
+            F.col("word").alias("head"),
+            F.col("pos").alias("head_pos"),
+            F.lead("word").over(w).alias("tail"),
+        )
+        .filter(F.col("tail").isNotNull())
+        .withColumn("cooc_no", F.row_number().over(Window.partitionBy("doc_id").orderBy("head_pos")))
+        .select("doc_id", "head", "tail", "cooc_no")
+    )
+
+
+def q_triples_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated triple store with support (north_star triple dedup):
+    (head, 'cooccurs_with', tail) aggregated over all pair occurrences."""
+    p = q_cooc_pairs(spark, sf_dir)
+    return (
+        p.groupBy(F.col("head").alias("subj"), F.col("tail").alias("obj"))
+        .agg(F.count(F.lit(1)).alias("support"), F.countDistinct("doc_id").alias("n_docs"))
+        .withColumn("pred", F.lit("cooccurs_with"))
+        .select("subj", "pred", "obj", "support", "n_docs")
+    )
+
+
+def q_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P@k (evaluation.py:44-52): preds = tf-idf top-5 words per doc, gold =
+    words of length >= 8 occurring in the doc; cumulative correct / k,
+    averaged per k over docs (mean ± population σ, evaluation.py:84)."""
+    preds = q_tfidf_topk(spark, sf_dir)
+    d = _docs(spark, sf_dir)
+    gold = d.select(
+        "doc_id", F.explode(F.array_distinct(_toks(F.col("text")))).alias("word")
+    ).filter(F.length("word") >= 8)
+    marked = preds.join(
+        gold.withColumn("is_correct", F.lit(1)), ["doc_id", "word"], "left"
+    ).fillna({"is_correct": 0})
+    w = Window.partitionBy("doc_id").orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    perdoc = marked.select(
+        "doc_id", F.col("rank").alias("k"),
+        (F.sum("is_correct").over(w) / F.col("rank")).alias("p"),
+    )
+    return perdoc.groupBy("k").agg(
+        F.round(F.avg("p"), 6).alias("mean_precision"),
+        F.round(F.coalesce(F.stddev_pop("p"), F.lit(0.0)), 6).alias("std_precision"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-pipeline ops)
+# ---------------------------------------------------------------------------
+
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kargo_spark.textstats import language_id, quality_score
+
+    d = _docs(spark, sf_dir)
+    q = quality_score(F.col("text"))
+    return d.select(
+        "doc_id",
+        language_id(F.col("text")).alias("lang_pred"),
+        F.round(q["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(q["stopword_ratio"], 4).alias("stopword_ratio"),
+        F.round(q["alpha_ratio"], 4).alias("alpha_ratio"),
+        F.round(q["quality"], 4).alias("quality"),
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kargo_spark.textstats import with_token_counts
+
+    d = _docs(spark, sf_dir)
+    return with_token_counts(d, "text").select("doc_id", "n_words", "n_tokens_bpe_est")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct 3-gram set."""
+    d = _docs(spark, sf_dir)
+    toks = _toks(F.col("text"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 3), " "))
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(grams)), ",")).alias("fp"),
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join
+    (kargo_spark.dedup.ngram_jaccard_pairs semantics, threshold 0.2)."""
+    d = _docs(spark, sf_dir)
+    toks = _toks(F.col("text"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
+    grams = F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 3), " ")))
+    sh = d.select(F.col("doc_id").alias("id"), F.explode(grams).alias("s"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "ia").withColumnRenamed("sz", "sza"), "ia")
+        .join(sizes.withColumnRenamed("id", "ib").withColumnRenamed("sz", "szb"), "ib")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select(F.col("ia").alias("a"), F.col("ib").alias("b"), "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query (queries = vec_id < 5), cosine
+    JVM-side via zip_with/aggregate — the ANN baseline."""
+    from kargo_spark.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb.filter(F.col("vec_id") >= 5), queries, k=5)
+    return out.select(
+        "query_id", "nbr_id", F.round("cos", 4).alias("cos"), "rank"
+    )
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector column aggregates: per label, count + mean L2 norm (rounded)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"), F.lit(0.0), lambda a, v: a + v * v
+        )
+    )
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("norm"), 4).alias("mean_norm"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible ops (rows-only driver check)
+# ---------------------------------------------------------------------------
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kargo_spark.dedup import minhash_lsh_pairs
+
+    d = _docs(spark, sf_dir)
+    return minhash_lsh_pairs(d, "text", "doc_id", jaccard_threshold=0.2).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kargo_spark.dedup import simhash_pairs
+
+    d = _docs(spark, sf_dir)
+    return simhash_pairs(d, "text", "doc_id", max_hamming=8)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kargo_spark.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb.filter(F.col("vec_id") >= 5), queries, k=5)
+
+
+def q_kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full kargo_spark KG pipeline (mapInPandas NLP + candidate mining +
+    tf-idf + pairs + triples) over the documents table re-shaped to the
+    north-rule input schema."""
+    import tempfile
+
+    from kargo_spark.pipeline import run_pipeline
+
+    d = _docs(spark, sf_dir)
+    src = d.select(
+        F.concat(F.lit("org/repo-"), (F.col("doc_id") % 50).cast("string")).alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string"), F.lit(".md")).alias("path"),
+        F.sha1(F.col("doc_id").cast("string")).alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    wd = tempfile.mkdtemp(prefix="kargo_entry_")
+    out = run_pipeline(
+        spark, src, wd, ranker="tfidf", n_terms=10,
+        cluster_relations=False, resume=False,
+    )
+    return out["triples"].select("subj", "pred", "obj", "support")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kargo_spark.multimodal import extract_features, repartition_by_bytes, synth_media
+
+    media = synth_media(spark, n=64)
+    feats = extract_features(repartition_by_bytes(media))
+    return feats.select("media_id", "kind", "n_bytes", "sha")
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "docs_clean": q_docs_clean,
+        "dedup_exact": q_dedup_exact,
+        "hash_split": q_hash_split,
+        "doc_frequency": q_doc_frequency,
+        "tfidf_topk": q_tfidf_topk,
+        "doc_stats": q_doc_stats,
+        "events_window": q_events_window,
+        "sessionize": q_sessionize,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "topk_window": q_topk_window,
+        "cooc_pairs": q_cooc_pairs,
+        "triples_agg": q_triples_agg,
+        "precision_at_k": q_precision_at_k,
+        "lang_quality": q_lang_quality,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ann_bruteforce": q_ann_bruteforce,
+        "embedding_stats": q_embedding_stats,
+        # rows-only (no SQL oracle):
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "ann_lsh": q_ann_lsh,
+        "kg_pipeline_triples": q_kg_pipeline_triples,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    toks = _TOKS_SQL
+    word_pos = f"""
+        SELECT doc_id, unnest({toks}) AS word,
+               unnest(range(1, len({toks}) + 1)) AS pos
+        FROM documents
     """
-    return {}
+    tfidf = f"""
+        WITH tf AS (
+            SELECT doc_id, word, count(*) AS tf
+            FROM (SELECT doc_id, unnest({toks}) AS word FROM documents)
+            WHERE length(word) >= 3 GROUP BY doc_id, word
+        ), dfreq AS (
+            SELECT word, count(DISTINCT doc_id) AS df
+            FROM (SELECT doc_id, unnest(list_distinct({toks})) AS word FROM documents)
+            WHERE length(word) >= 3 GROUP BY word
+        ), n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.word,
+                   round(tf.tf * log2(n.n_docs / dfreq.df::DOUBLE), 6) AS score
+            FROM tf JOIN dfreq USING (word) CROSS JOIN n
+        ), ranked AS (
+            SELECT doc_id, word, score,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rank
+            FROM scored
+        )
+        SELECT doc_id, word, round(score, 4) AS score, rank FROM ranked WHERE rank <= 5
+    """
+    cooc = f"""
+        WITH wp AS ({word_pos}),
+        mentions AS (SELECT doc_id, word, pos FROM wp WHERE length(word) >= 6),
+        led AS (
+            SELECT doc_id, word AS head, pos AS head_pos,
+                   lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS tail
+            FROM mentions
+        )
+        SELECT doc_id, head, tail,
+               row_number() OVER (PARTITION BY doc_id ORDER BY head_pos) AS cooc_no
+        FROM led WHERE tail IS NOT NULL
+    """
+    grams3 = (
+        f"list_transform(range(1, greatest(len({toks}) - 2, 1) + 1), "
+        f"i -> array_to_string(({toks})[i:i+2], ' '))"
+    )
+    lang_case_scores = []
+    from kargo_spark.textstats import _LANG_MARKERS  # marker lists shared
+
+    for lang, markers in _LANG_MARKERS.items():
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        lang_case_scores.append(
+            f"len(list_filter({toks}, x -> x IN ({inlist})))"
+            f" / greatest(len({toks}), 1)::DOUBLE AS s_{lang}"
+        )
+    lang_scores_sql = ",\n               ".join(lang_case_scores)
+    stop_in = ", ".join(
+        f"'{s}'" for s in (
+            "the a an and or but of to in on at for with from by as is are was were "
+            "be been it its this that these those they their we you he she not no"
+        ).split()
+    )
+    return {
+        "docs_clean": f"""
+            SELECT doc_id,
+                   right(md5(doc_id::VARCHAR), 6) AS doc_hex,
+                   sha256(text) AS content_sha,
+                   lang, source,
+                   len({toks})::BIGINT AS n_words
+            FROM documents WHERE length(trim(text)) > 0
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+            FROM (SELECT doc_id, sha256(text) AS h FROM documents) GROUP BY h
+        """,
+        "hash_split": """
+            SELECT CASE WHEN CAST('0x' || substring(md5(doc_id::VARCHAR || '#split'), 1, 4) AS BIGINT) % 100 < 20
+                        THEN 'dev' ELSE 'test' END AS split,
+                   count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "doc_frequency": f"""
+            SELECT word, count(DISTINCT doc_id) AS df
+            FROM (SELECT doc_id, unnest(list_distinct({toks})) AS word FROM documents)
+            GROUP BY word HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "tfidf_topk": tfidf,
+        "doc_stats": f"""
+            SELECT doc_id,
+                   len({toks})::BIGINT AS n_words,
+                   len(list_distinct({toks}))::BIGINT AS n_distinct,
+                   round(list_sum(list_transform({toks}, t -> length(t)))
+                         / greatest(len({toks}), 1)::DOUBLE, 4) AS mean_word_len
+            FROM documents
+        """,
+        "events_window": """
+            SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+                   count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH gaps AS (
+                SELECT user_id, event_id,
+                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM gaps
+            )
+            SELECT user_id, max(session_id) + 1 AS n_sessions, count(*) AS n_events
+            FROM sess GROUP BY user_id
+        """,
+        "anti_join": """
+            SELECT c_nationkey, count(*) AS n_customers
+            FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            GROUP BY c_nationkey
+        """,
+        "semi_join": """
+            SELECT s_nationkey, count(*) AS n_suppliers
+            FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+            GROUP BY s_nationkey
+        """,
+        "topk_window": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
+        "cooc_pairs": cooc,
+        "triples_agg": f"""
+            WITH pairs AS ({cooc})
+            SELECT head AS subj, 'cooccurs_with' AS pred, tail AS obj,
+                   count(*) AS support, count(DISTINCT doc_id) AS n_docs
+            FROM pairs GROUP BY head, tail
+        """,
+        "precision_at_k": f"""
+            WITH preds AS ({tfidf}),
+            gold AS (
+                SELECT DISTINCT doc_id, word
+                FROM (SELECT doc_id, unnest(list_distinct({toks})) AS word FROM documents)
+                WHERE length(word) >= 8
+            ),
+            marked AS (
+                SELECT p.doc_id, p.rank AS k,
+                       CASE WHEN g.word IS NOT NULL THEN 1 ELSE 0 END AS is_correct
+                FROM preds p LEFT JOIN gold g ON p.doc_id = g.doc_id AND p.word = g.word
+            ),
+            perdoc AS (
+                SELECT doc_id, k,
+                       sum(is_correct) OVER (PARTITION BY doc_id ORDER BY k
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE / k AS p
+                FROM marked
+            )
+            SELECT k, round(avg(p), 6) AS mean_precision,
+                   round(coalesce(stddev_pop(p), 0.0), 6) AS std_precision,
+                   count(*) AS n_docs
+            FROM perdoc GROUP BY k
+        """,
+        "lang_quality": f"""
+            WITH scores AS (
+                SELECT doc_id, text,
+                       {lang_scores_sql},
+                       list_sum(list_transform({toks}, t -> length(t)))
+                           / greatest(len({toks}), 1)::DOUBLE AS mwl,
+                       len(list_filter({toks}, x -> x IN ({stop_in})))
+                           / greatest(len({toks}), 1)::DOUBLE AS swr,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           / greatest(length(text), 1)::DOUBLE AS ar
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'und'
+                        WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                        WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                        WHEN s_fr >= s_de THEN 'fr'
+                        ELSE 'de' END AS lang_pred,
+                   round(mwl, 4) AS mean_word_len,
+                   round(swr, 4) AS stopword_ratio,
+                   round(ar, 4) AS alpha_ratio,
+                   round(((CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1 ELSE 0 END)
+                        + (CASE WHEN swr >= 0.05 THEN 1 ELSE 0 END)
+                        + (CASE WHEN ar >= 0.6 THEN 1 ELSE 0 END)
+                        + (CASE WHEN length(trim(text)) > 0 THEN 1 ELSE 0 END)) / 4.0, 4) AS quality
+            FROM scores
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> ''))::BIGINT AS n_words,
+                   ceil(length(text) / 4.0)::BIGINT AS n_tokens_bpe_est
+            FROM documents
+        """,
+        "fingerprint": f"""
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct({grams3})), ',')) AS fp
+            FROM documents
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH sh AS (
+                SELECT doc_id AS id, unnest(list_distinct({grams3})) AS s FROM documents
+            ), sizes AS (
+                SELECT id, count(*) AS sz FROM sh GROUP BY id
+            ), inter AS (
+                SELECT a.id AS ia, b.id AS ib, count(*) AS inter
+                FROM sh a JOIN sh b USING (s) WHERE a.id < b.id GROUP BY a.id, b.id
+            )
+            SELECT ia AS a, ib AS b,
+                   round(inter / (sza.sz + szb.sz - inter)::DOUBLE, 6) AS jaccard
+            FROM inter
+            JOIN sizes sza ON sza.id = ia
+            JOIN sizes szb ON szb.id = ib
+            WHERE inter / (sza.sz + szb.sz - inter)::DOUBLE >= 0.2
+        """,
+        "ann_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+            scored AS (
+                SELECT query_id, nbr_id, list_cosine_similarity(qv, cv) AS cos
+                FROM c CROSS JOIN q
+            ), ranked AS (
+                SELECT query_id, nbr_id, cos,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, nbr_id, round(cos, 4) AS cos, rank FROM ranked WHERE rank <= 5
+        """,
+        "embedding_stats": """
+            SELECT label, count(*) AS n,
+                   round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v * v)))), 4) AS mean_norm
+            FROM embeddings GROUP BY label
+        """,
+    }

@@ -1,0 +1,265 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+Five dedup strategies over a document table ``(doc_id, text)``:
+
+* ``exact_dedup``          — hash-groupBy on sha2(text); pure SQL.
+* ``minhash_lsh_dedup``    — shingle -> minhash signature -> band buckets
+                             -> bucket join -> Jaccard verify. The classic
+                             MinHash+LSH near-dup (Broder; used by every
+                             web-scale corpus pipeline).
+* ``simhash_dedup``        — 64-bit SimHash (Charikar) with Hamming verify,
+                             blocked on 4 x 16-bit bands.
+* ``ngram_jaccard_dedup``  — exact n-gram Jaccard on candidate pairs
+                             (blocked by a cheap key to avoid O(n²)).
+* ``embedding_neardup``    — cosine >= threshold over an embedding column.
+
+All hashing is seeded/deterministic (xxhash64 JVM-side where possible, md5
+in pandas UDFs) — never Python ``hash``. Signatures are computed
+JVM-side with ``F.transform`` over shingle arrays, so the only shuffle is
+the band-bucket groupBy/join; at 100 TB that join is the cost and it is
+band-parallel and key-balanced by construction (bucket key = (band, hash)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .embedding import cosine_expr
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), r"[^a-z0-9]+"), lambda t: t != "")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per identical text; dedup key =
+    sha2-256 so the groupBy never carries full payloads wider than needed."""
+    return (
+        docs.withColumn("__h", F.sha2(F.col(text_col), 256))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__h")
+    )
+
+
+def shingles(col, n: int = 3):
+    """Word n-gram shingle array (distinct), JVM-side."""
+    toks = _tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        )
+    )
+
+
+def minhash_signature(shingle_col, num_hashes: int = 32, seed: int = 42):
+    """num_hashes minhash values: min over shingles of xxhash64(shingle, k)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed + k)))
+            )
+            for k in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding + exact Jaccard verify.
+
+    rows_per_band = num_hashes/bands; a pair collides if any band's hash
+    slice matches. Verification recomputes true shingle Jaccard on the
+    collided pairs only (the whole point of LSH: verify set is tiny).
+    Returns (a, b, jaccard) with a < b.
+    """
+    r = num_hashes // bands
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+    banded = base.select(
+        "id", "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("sig", b * r + j + 1) for j in range(r)])
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+                F.col("a.sh").alias("sha"), F.col("b.sh").alias("shb"))
+        .dropDuplicates(["a", "b"])
+    )
+    jac = F.size(F.array_intersect("sha", "shb")) / F.size(F.array_union("sha", "shb"))
+    return (
+        cand.withColumn("jaccard", jac.cast("double"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", **kw) -> DataFrame:
+    """Documents surviving near-dup removal: drop the larger id of each
+    verified pair (transitively safe for dedup purposes: every removed doc
+    has a kept near-duplicate)."""
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, **kw)
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
+def simhash64(col, seed: int = 42):
+    """64-bit SimHash JVM-side: per token hash -> ±1 per bit -> sign of sum.
+
+    Implemented with an aggregate over bit positions using xxhash64 token
+    hashes; deterministic and codegen-friendly (no Python).
+    """
+    toks = _tokens(col)
+    # for each of 64 bits: sum over tokens of (bit set ? 1 : -1); result bit = sum > 0
+    th = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+    bits = [
+        F.when(
+            F.aggregate(
+                th,
+                F.lit(0),
+                lambda acc, h: acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sim = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        sim = sim.bitwiseOR(F.shiftleft(b, i))
+    return sim
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 x 16-bit bands (a pair within
+    Hamming distance 3 of 64 bits shares at least one exact 16-bit band by
+    pigeonhole), verify Hamming distance via bit_count(xor)."""
+    sh = docs.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), seed).alias("sim"))
+    banded = sh.select(
+        "id", "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sim", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sim", "bb.band", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, blocked by shared shingle.
+
+    Inverted-index join (explode shingles -> self-join on shingle) with a
+    df-cutoff on hot shingles so a stop-shingle can't go quadratic; exact
+    intersection/union via groupBy counts — no full text comparison.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("s")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # drop shingles present in too many docs (hub-shingle skew guard)
+    hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > 1000)
+    sh = sh.join(hot, "s", "left_anti")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "ia").withColumnRenamed("sz", "sza"), "ia")
+        .join(sizes.withColumnRenamed("id", "ib").withColumnRenamed("sz", "szb"), "ib")
+        .withColumn(
+            "jaccard",
+            (F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("ia").alias("a"), F.col("ib").alias("b"), "jaccard")
+    )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup: LSH-blocked (random hyperplanes), cosine
+    verified. Returns (a, b, cos) with a < b."""
+    from .clustering import _lsh_buckets
+
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    tables = None
+    for t in range(2):
+        bt = _lsh_buckets(v, "v", n_planes, seed + 17 * t, dim).withColumn("table", F.lit(t))
+        tables = bt if tables is None else tables.unionByName(bt)
+    a, b = tables.alias("a"), tables.alias("b")
+    return (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .dropDuplicates(["a", "b"])
+    )

@@ -1,0 +1,119 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting.
+
+Everything is built-in Column expressions (whole-stage codegen) — these run
+per-document over 100 TB, so no Python may touch the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons (n-gram heuristic language ID).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por", "para"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "pour", "avec", "une"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "von", "ein"],
+}
+
+STOPWORDS_EN = (
+    "the a an and or but of to in on at for with from by as is are was were "
+    "be been it its this that these those they their we you he she not no"
+).split()
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), r"[^a-z0-9']+"), lambda t: t != "")
+
+
+def token_count(col):
+    """Whitespace-word count + a BPE-ish subword estimate (chars/4 bound,
+    the common rule-of-thumb for byte-pair tokenizers)."""
+    words = F.size(_tokens(col))
+    bpe_est = F.ceil(F.length(col) / 4).cast("long")
+    return words.cast("long").alias("n_words"), bpe_est.alias("n_tokens_bpe_est")
+
+
+def with_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    w, b = token_count(F.col(text_col))
+    return docs.withColumn("n_words", w).withColumn("n_tokens_bpe_est", b)
+
+
+def language_scores(col) -> dict[str, "F.Column"]:
+    """Per-language marker-hit ratio columns (exact rationals in double)."""
+    toks = _tokens(col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    out = {}
+    for lang, markers in _LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+        out[lang] = hits / n
+    return out
+
+
+def language_id(col):
+    """Heuristic language ID: argmax of marker-lexicon hit ratio with
+    FIRST-WINS tiebreak in lexicon order (en, es, fr, de) — deterministic
+    and exactly replicable in ANSI SQL (chained CASE); 'und' if no hits."""
+    s = language_scores(col)
+    langs = list(_LANG_MARKERS)
+    expr = F.lit(langs[-1])
+    for i in range(len(langs) - 2, -1, -1):
+        li = langs[i]
+        cond = None
+        for lj in langs[i + 1:]:
+            c = s[li] >= s[lj]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(li)).otherwise(expr)
+    no_hits = None
+    for lang in langs:
+        c = s[lang] == 0
+        no_hits = c if no_hits is None else (no_hits & c)
+    return F.when(no_hits, F.lit("und")).otherwise(expr)
+
+
+def quality_score(col, stopwords: list[str] | None = None):
+    """Composite document-quality heuristics (Gopher/C4-style filters):
+
+    * mean word length in [3, 10]
+    * stopword ratio >= 0.05 (natural language, not code/tables)
+    * alpha ratio (letters / chars) >= 0.6
+    * non-empty
+
+    Returns a struct(mean_word_len, stopword_ratio, alpha_ratio, quality)
+    with quality in [0,1] = fraction of heuristics passed.
+    """
+    toks = _tokens(col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    mean_wl = F.aggregate(toks, F.lit(0).cast("long"),
+                          lambda acc, t: acc + F.length(t)) / n
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    sw_ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n
+    alpha_ratio = (
+        F.length(F.regexp_replace(col, r"[^A-Za-z]", "")) / F.greatest(F.length(col), F.lit(1))
+    )
+    checks = [
+        (mean_wl >= 3) & (mean_wl <= 10),
+        sw_ratio >= 0.05,
+        alpha_ratio >= 0.6,
+        F.length(F.trim(col)) > 0,
+    ]
+    quality = sum(F.when(c, 1).otherwise(0) for c in checks) / F.lit(float(len(checks)))
+    return F.struct(
+        mean_wl.cast("double").alias("mean_word_len"),
+        sw_ratio.cast("double").alias("stopword_ratio"),
+        alpha_ratio.cast("double").alias("alpha_ratio"),
+        quality.cast("double").alias("quality"),
+    )
+
+
+def fingerprint(col, n: int = 4):
+    """Deterministic document fingerprint: md5 over the document's sorted
+    distinct word n-gram hash set — a rolling-hash-style content signature
+    robust to word order at the edges (winnowing-lite)."""
+    toks = _tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")))
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(grams)), ","))
