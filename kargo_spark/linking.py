@@ -55,12 +55,13 @@ def canonical_entities(mentions: DataFrame, term_col: str = "term") -> DataFrame
     w = Window.partitionBy("norm").orderBy(F.desc("cnt"), "surface")
     return (
         surface_counts.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__total", F.sum("cnt").over(Window.partitionBy("norm")))
         .filter(F.col("__rn") == 1)
         .select(
             F.substring(F.md5("norm"), -12, 12).alias("entity_id"),
             F.col("norm"),
             F.col("surface").alias("canonical"),
-            F.col("cnt").alias("support"),
+            F.col("__total").alias("support"),
         )
     )
 

@@ -1,0 +1,100 @@
+"""DBSCAN (exact vs scalable) and entity-linking tests."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from kargo_spark.clustering import _dbscan_numpy, connected_components, dbscan_exact, dbscan_scalable
+from kargo_spark.linking import canonical_entities, link_mentions, normalize_surface
+
+
+def _blob_vectors(spark, seed=11):
+    """Three well-separated direction blobs + far-out noise points."""
+    rng = np.random.default_rng(seed)
+    centers = np.eye(3)
+    rows = []
+    vid = 0
+    for c in range(3):
+        for _ in range(12):
+            v = centers[c] + rng.normal(0, 0.05, 3)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for i in range(3):  # noise: isolated directions
+        v = np.array([1.0, 1.0, 1.0]) * (-1) ** i + rng.normal(0, 0.4, 3)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id long, vec array<double>"), rows
+
+
+def test_dbscan_numpy_three_blobs():
+    rng = np.random.default_rng(5)
+    X = np.vstack([np.eye(3)[c] + rng.normal(0, 0.03, (10, 3)) for c in range(3)])
+    labels = _dbscan_numpy(X, eps=0.05, min_samples=3)
+    assert len({l for l in labels if l >= 0}) == 3
+    # each blob one cluster
+    for c in range(3):
+        assert len(set(labels[c * 10:(c + 1) * 10])) == 1
+
+
+def test_dbscan_exact_vs_scalable_agree(spark):
+    vdf, _ = _blob_vectors(spark)
+    ex = {r["vec_id"]: r["cluster"] for r in dbscan_exact(vdf, eps=0.1, min_samples=4).collect()}
+    sc = {r["vec_id"]: r["cluster"] for r in
+          dbscan_scalable(vdf, eps=0.1, min_samples=4, dim=3, n_planes=2).collect()}
+    def groups(d):
+        g = {}
+        for k, v in d.items():
+            g.setdefault(v, set()).add(k)
+        noise = g.pop(-1, set())
+        return {frozenset(s) for s in g.values()}, noise
+    ge, ne = groups(ex)
+    gs, ns = groups(sc)
+    assert ge == gs, (ge, gs)
+    assert ne == ns
+
+
+def test_connected_components_chain(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "src long, dst long"
+    )
+    out = {r["vec_id"]: r["component"] for r in connected_components(edges).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == 10
+    assert out[20] == out[21] == out[22] == 20
+
+
+def test_normalize_surface(spark):
+    df = spark.createDataFrame([("  Cool   Chains ",), ("containers",)], "t string")
+    out = [r["n"] for r in df.select(normalize_surface(F.col("t")).alias("n")).collect()]
+    assert out == ["cool chain", "container"]
+
+
+def test_canonical_entities_merge_plurals(spark):
+    m = spark.createDataFrame(
+        [("d1", "cool chain"), ("d2", "cool chains"), ("d3", "cool chain"), ("d4", "airport")],
+        "doc_id string, term string",
+    )
+    ents = canonical_entities(m)
+    rows = {r["norm"]: r for r in ents.collect()}
+    assert rows["cool chain"]["canonical"] == "cool chain"  # most frequent surface
+    assert rows["cool chain"]["support"] == 3
+    assert len(rows) == 2
+
+
+def test_link_mentions_exact_and_embedding(spark):
+    m = spark.createDataFrame(
+        [("d1", "cool chains"), ("d2", "kool chain"), ("d3", "zzz qqq vvv")],
+        "doc_id string, term string",
+    )
+    ents = canonical_entities(
+        spark.createDataFrame([("d0", "cool chain"), ("d0", "airport hub")], "doc_id string, term string")
+    )
+    out = link_mentions(m, ents, threshold=0.3)
+    rows = {r["term"]: r for r in out.collect()}
+    assert rows["cool chains"]["link_kind"] == "exact"  # normalizes to 'cool chain'
+    assert rows["cool chains"]["link_sim"] == 1.0
+    # unlinkable garbage stays NULL
+    assert rows["zzz qqq vvv"]["entity_id"] is None

@@ -1,0 +1,125 @@
+"""Dedup family + similarity-search tests with exact numpy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from kargo_spark import dedup
+from kargo_spark.similarity import brute_force_topk, ivf_topk, lsh_topk
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 1
+    (3, "completely different content about air cargo pharma logistics and cool chains"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (5, "air cargo pharma logistics require temperature controlled cool chain containers"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = dedup.exact_dedup(_docs(spark))
+    rows = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+    assert rows[1] == 2  # doc 4 collapsed into doc 1
+    assert 4 not in rows
+    assert len(rows) == 4
+
+
+def test_minhash_finds_near_dup_pair(spark):
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark), jaccard_threshold=0.5, num_hashes=32, bands=16
+    ).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert (1, 4) in got  # exact dup always collides
+    assert (1, 2) in got or (2, 4) in got  # near-dup caught
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+
+def test_minhash_dedup_removes_losers(spark):
+    kept = dedup.minhash_lsh_dedup(_docs(spark), jaccard_threshold=0.5, num_hashes=32, bands=16)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 1 in ids  # min id of its dup-group survives
+    assert 4 not in ids
+
+
+def test_simhash_hamming_zero_for_exact_dup(spark):
+    pairs = dedup.simhash_pairs(_docs(spark), max_hamming=3).collect()
+    got = {(r["a"], r["b"]): r["hamming"] for r in pairs}
+    assert got.get((1, 4)) == 0
+
+
+def test_ngram_jaccard_exact_value(spark):
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.3).collect()
+    got = {(r["a"], r["b"]): r["jaccard"] for r in pairs}
+    assert got.get((1, 4)) == 1.0
+    assert (1, 2) in got  # 13-word docs differing in last word: high 3-gram overlap
+
+
+def _vectors(spark, n=40, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, dim)).astype(np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), X
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    vdf, X = _vectors(spark)
+    queries = vdf.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    corpus = vdf.filter(F.col("vec_id") >= 3)
+    out = brute_force_topk(corpus, queries, k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["nbr_id"]))
+    sims = X @ X.T
+    for q in range(3):
+        order = [i for i in np.argsort(-sims[q]) if i >= 3][:5]
+        mine = [n for _, n in sorted(got[q])]
+        assert mine == order, (q, mine, order)
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    vdf, _ = _vectors(spark, n=60)
+    queries = vdf.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    corpus = vdf.filter(F.col("vec_id") >= 5)
+    exact = brute_force_topk(corpus, queries, k=5).collect()
+    approx = lsh_topk(corpus, queries, k=5, n_planes=4, n_tables=6, dim=16).collect()
+    ex = {}
+    ap = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["nbr_id"])
+    for r in approx:
+        ap.setdefault(r["query_id"], set()).add(r["nbr_id"])
+    recall = np.mean([len(ex[q] & ap.get(q, set())) / 5 for q in ex])
+    assert recall >= 0.5, recall  # ANN: top-1 usually caught, recall>=50%
+
+
+def test_ivf_topk_runs_and_ranks(spark):
+    vdf, _ = _vectors(spark, n=60)
+    queries = vdf.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    corpus = vdf.filter(F.col("vec_id") >= 3)
+    out = ivf_topk(corpus, queries, k=5, n_centroids=4, n_probe=2)
+    rows = out.collect()
+    assert len(rows) == 15
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_embedding_neardup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    vdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.embedding_neardup_pairs(vdf, threshold=0.95, n_planes=2, dim=4).collect()
+    got = {(r["a"], r["b"]) for r in out}
+    assert (1, 2) in got
+    assert (1, 3) not in got

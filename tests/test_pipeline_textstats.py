@@ -1,0 +1,142 @@
+"""End-to-end pipeline, checkpoint/resume, skew helpers, textstats,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from kargo_spark import textstats
+from kargo_spark.multimodal import (
+    decode_image_stub,
+    extract_features,
+    frame_sample_stub,
+    repartition_by_bytes,
+    synth_media,
+)
+from kargo_spark.pipeline import run_pipeline
+from kargo_spark.skew import salted_agg, size_bucketed
+from kargo_spark.synth import synth_documents
+
+
+@pytest.fixture(scope="module")
+def pipe(spark, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("pipe"))
+    docs = synth_documents(spark, n_rows=60)
+    out = run_pipeline(spark, docs, wd, ranker="tfidf", min_samples=3, eps=0.35)
+    return wd, docs, out
+
+
+def test_pipeline_stages_nonempty(pipe):
+    _, _, out = pipe
+    for k in ["docs_clean", "tokens", "candidates", "terms_topk", "mentions",
+              "pairs", "triples", "entities", "links"]:
+        assert out[k].count() > 0, k
+
+
+def test_pipeline_resume_identical(spark, pipe):
+    wd, docs, out = pipe
+    t1 = sorted(out["triples"].select("subj", "pred", "obj", "support").collect())
+    out2 = run_pipeline(spark, docs, wd, ranker="tfidf", min_samples=3, eps=0.35)
+    assert all(r["resumed"] for r in out2["metrics"].collect())
+    t2 = sorted(out2["triples"].select("subj", "pred", "obj", "support").collect())
+    assert t1 == t2
+
+
+def test_pipeline_partial_resume_recomputes_missing(spark, pipe):
+    wd, docs, _ = pipe
+    shutil.rmtree(f"{wd}/triples")
+    out = run_pipeline(spark, docs, wd, ranker="tfidf", min_samples=3, eps=0.35)
+    m = {r["stage"]: r["resumed"] for r in out["metrics"].collect()}
+    assert m["pairs"] is True        # untouched stage resumed
+    assert m["triples"] is False     # deleted stage recomputed
+    assert out["triples"].count() > 0
+
+
+def test_triples_self_parity(spark, pipe):
+    """Run the full pipeline twice in separate workdirs: P/R == 1.0
+    (the sandbox analog of the P/R>=0.95 gate: deterministic replica)."""
+    import tempfile
+
+    from kargo_spark.evaluation import triple_precision_recall
+
+    wd2 = tempfile.mkdtemp(prefix="pipe2_")
+    wd, docs, _ = pipe
+    # fresh read: earlier tests may have rewritten the checkpoint files
+    ref = spark.read.parquet(f"{wd}/triples")
+    out2 = run_pipeline(spark, docs, wd2, ranker="tfidf", min_samples=3, eps=0.35)
+    row = triple_precision_recall(out2["triples"], ref).collect()[0]
+    assert row["precision"] >= 0.95 and row["recall"] >= 0.95
+    assert row["f1"] == 1.0
+
+
+def test_size_bucketed_preserves_rows(spark):
+    docs = synth_documents(spark, n_rows=50)
+    out = size_bucketed(docs, "content", n_partitions=4)
+    assert out.count() == docs.count()
+    assert out.rdd.getNumPartitions() == 4
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("k1", 1.0)] * 50 + [("k2", 2.0)] * 5, "k string, v double"
+    )
+    got = {r["k"]: (r["v"], r["n"]) for r in
+           salted_agg(df, ["k"], [("v", "sum"), ("n", "count")]).collect()}
+    assert got["k1"] == (50.0, 50)
+    assert got["k2"] == (10.0, 5)
+
+
+def test_textstats_language_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cargo is in the hub and the crew is ready for the flight"),
+            (2, "el puerto de la ciudad es una de las zonas por explorar"),
+            (3, "xx yy zz 11 22"),
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        textstats.language_id(F.col("text")).alias("lang"),
+        textstats.quality_score(F.col("text")).alias("q"),
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert got[1]["lang"] == "en"
+    assert got[2]["lang"] == "es"
+    assert got[3]["lang"] == "und"
+    assert got[1]["q"]["quality"] > got[3]["q"]["quality"]
+
+
+def test_fingerprint_order_insensitive_tail(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "totally other words here now")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["fp"] for r in
+           df.select("doc_id", textstats.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_multimodal_features_deterministic(spark):
+    media = synth_media(spark, n=16)
+    f1 = {r["media_id"]: (r["sha"], tuple(r["feat"])) for r in extract_features(media).collect()}
+    f2 = {r["media_id"]: (r["sha"], tuple(r["feat"])) for r in
+          extract_features(repartition_by_bytes(media)).collect()}
+    assert f1 == f2  # partitioning never changes content
+
+
+def test_multimodal_strict_decode_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"bytes", strict=True)
+
+
+def test_frame_sample_explodes_video_rows(spark):
+    media = synth_media(spark, n=32)
+    frames = frame_sample_stub(media, every_ms=10000)
+    n_videos = media.filter(F.col("kind") == "video").count()
+    assert frames.select("media_id").distinct().count() == n_videos
+    assert frames.count() >= n_videos

@@ -1,0 +1,119 @@
+"""Mention/pair/triple and evaluation-semantics tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kargo_spark import candidates as C
+from kargo_spark import evaluation as E
+from kargo_spark import nlp, relations, weighting
+
+
+def _stage(spark):
+    docs = [
+        ("d1", "The cargo carrier moved pharma shipment to the airport hub. "
+               "The pharma shipment reached the cool chain terminal."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, content string")
+    toks = nlp.tokenize(df)
+    sents = nlp.sentences_with_tokens(toks)
+    cands = C.mine_candidates(sents)
+    df_tab, n = weighting.document_frequency(cands)
+    topk = weighting.top_k_terms(weighting.tfidf_scores(cands, df_tab, n), k=10)
+    return toks, sents, cands, topk
+
+
+def test_mentions_first_occurrence_only(spark):
+    _, _, cands, topk = _stage(spark)
+    m = relations.mentions(cands, topk)
+    # pharma shipment appears once per sentence: no (doc, sent, term) dupes
+    dupes = m.groupBy("doc_id", "sentence_id", "lemma_term").count().filter("count > 1")
+    assert dupes.count() == 0
+
+
+def test_pairs_adjacent_with_in_between(spark):
+    _, sents, cands, topk = _stage(spark)
+    m = relations.mentions(cands, topk)
+    p = relations.pairs(m, sents)
+    rows = {(r["head"], r["tail"]): r for r in p.collect()}
+    assert ("cargo carrier", "pharma shipment") in rows
+    r = rows[("cargo carrier", "pharma shipment")]
+    assert r["in_between_words"] == "moved"
+    assert r["cooc_no"] == 1
+    # no overlapping-span pair
+    assert all(r["tail_tok_begin"] > r["head_tok_end"] for r in rows.values())
+
+
+def test_triples_dedup_and_support(spark):
+    _, sents, cands, topk = _stage(spark)
+    p = relations.pairs(relations.mentions(cands, topk), sents)
+    t = relations.triples_from_pairs(p)
+    assert t.groupBy("subj", "pred", "obj").count().filter("count > 1").count() == 0
+    assert t.filter(F.col("support") < 1).count() == 0
+
+
+def _eval_frames(spark):
+    preds = spark.createDataFrame(
+        [
+            ("d1", "m1", 1, "alpha"), ("d1", "m1", 2, "beta"), ("d1", "m1", 3, "junk"),
+            ("d1", "m2", 1, "junk"), ("d1", "m2", 2, "alpha"), ("d1", "m2", 3, "gamma"),
+        ],
+        "doc_id string, method string, rank int, term string",
+    )
+    gold = spark.createDataFrame(
+        [("d1", "Alpha"), ("d1", "beta"), ("d1", "gamma")], "doc_id string, term string"
+    )
+    return preds, gold
+
+
+def test_precision_at_k_cumulative(spark):
+    preds, gold = _eval_frames(spark)
+    p = E.precision_at_k(preds, gold)
+    got = {(r["method"], r["k"]): r["precision"] for r in p.collect()}
+    assert got[("m1", 1)] == 1.0
+    assert got[("m1", 2)] == 1.0
+    assert abs(got[("m1", 3)] - 2 / 3) < 1e-9
+    assert got[("m2", 1)] == 0.0
+    assert got[("m2", 2)] == 0.5
+
+
+def test_relative_recall_pooled_denominator(spark):
+    preds, gold = _eval_frames(spark)
+    r = E.relative_recall_at_k(preds, gold)
+    got = {(r_["method"], r_["k"]): r_["recall"] for r_ in r.collect()}
+    # k=2: m1 found {alpha,beta}, m2 found {alpha}; pool={alpha,beta}
+    assert got[("m1", 2)] == 1.0
+    assert got[("m2", 2)] == 0.5
+    # k=3 pool = {alpha,beta,gamma}
+    assert abs(got[("m1", 3)] - 2 / 3) < 1e-9
+    assert abs(got[("m2", 3)] - 2 / 3) < 1e-9
+
+
+def test_fscore_and_aggregate_population_std(spark):
+    preds, gold = _eval_frames(spark)
+    p = E.precision_at_k(preds, gold)
+    r = E.relative_recall_at_k(preds, gold)
+    f = E.fscore_at_k(p, r)
+    assert f.filter(F.col("fscore") < 0).count() == 0
+    agg = E.aggregate_scores(f, "fscore")
+    # population std of a single doc = 0
+    assert all(row["std"] == 0.0 for row in agg.collect())
+
+
+def test_perfect_predictions_give_unit_scores(spark):
+    # reference tests/test_evaluation.py:21,26 semantics
+    preds = spark.createDataFrame(
+        [("d1", "m", 1, "a"), ("d1", "m", 2, "b")], "doc_id string, method string, rank int, term string"
+    )
+    gold = spark.createDataFrame([("d1", "a"), ("d1", "b")], "doc_id string, term string")
+    p = E.precision_at_k(preds, gold).collect()
+    assert all(r["precision"] == 1.0 for r in p)
+    r = E.relative_recall_at_k(preds, gold).collect()
+    assert all(x["recall"] == 1.0 for x in r)
+
+
+def test_triple_pr_gate(spark):
+    pred = spark.createDataFrame([("a", "r", "b"), ("c", "r", "d")], "subj string, pred string, obj string")
+    gold = spark.createDataFrame([("a", "r", "b"), ("c", "r", "d")], "subj string, pred string, obj string")
+    row = E.triple_precision_recall(pred, gold).collect()[0]
+    assert row["precision"] == 1.0 and row["recall"] == 1.0 and row["f1"] == 1.0

@@ -1,0 +1,102 @@
+"""Term-weighting + ranking tests with tiny exact oracles."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from kargo_spark import candidates as C
+from kargo_spark import nlp, weighting
+from kargo_spark.graph_rank import (
+    _pagerank_numpy,
+    cooccurrence_edges,
+    distributed_pagerank,
+    position_rank,
+    single_rank,
+)
+
+DOCS = [
+    ("d1", "The cargo carrier moved pharma shipment. The cargo carrier expanded pharma capacity."),
+    ("d2", "The airport hub handles cargo. The cool chain hub offers pharma storage."),
+    ("d3", "The freight network moved animal transport to the charter terminal."),
+]
+
+
+def _cands(spark):
+    df = spark.createDataFrame(DOCS, "doc_id string, content string")
+    toks = nlp.tokenize(df)
+    return toks, C.mine_candidates(nlp.sentences_with_tokens(toks))
+
+
+def test_document_frequency_exact(spark):
+    _, cands = _cands(spark)
+    df_tab, n_docs = weighting.document_frequency(cands)
+    assert n_docs == 3
+    got = {r["ngram"]: r["df"] for r in df_tab.collect()}
+    assert got["cargo carrier"] == 1
+    assert got["pharma shipment"] == 1
+
+
+def test_tfidf_score_formula(spark):
+    _, cands = _cands(spark)
+    df_tab, n_docs = weighting.document_frequency(cands)
+    scores = weighting.tfidf_scores(cands, df_tab, n_docs)
+    row = scores.filter((F.col("doc_id") == "d1") & (F.col("ngram") == "cargo carrier")).collect()[0]
+    assert abs(row["score"] - 2 * math.log2(3 / 1)) < 1e-9
+
+
+def test_top_k_terms_rank_and_csv_shape(spark):
+    _, cands = _cands(spark)
+    df_tab, n_docs = weighting.document_frequency(cands)
+    scores = weighting.tfidf_scores(cands, df_tab, n_docs)
+    topk = weighting.top_k_terms(scores, k=2)
+    per_doc = topk.groupBy("doc_id").count().collect()
+    assert all(r["count"] <= 2 for r in per_doc)
+    csv = weighting.terms_csv_shape(topk).collect()
+    for r in csv:
+        assert 1 <= len(r["terms"].split("|")) <= 2
+
+
+def test_yake_produces_scores_per_doc(spark):
+    _, cands = _cands(spark)
+    prepared = cands.withColumn("ngram", F.col("lemma_term"))
+    out = weighting.yake_scores(prepared)
+    assert out.select("doc_id").distinct().count() == 3
+    assert out.filter(F.col("score").isNull()).count() == 0
+
+
+def test_pagerank_numpy_uniform_on_symmetric_clique():
+    adj = np.ones((4, 4)) - np.eye(4)
+    r = _pagerank_numpy(adj)
+    assert np.allclose(r, 0.25, atol=1e-6)
+
+
+def test_single_and_position_rank_run(spark):
+    toks, cands = _cands(spark)
+    sr = single_rank(toks, cands)
+    pr = position_rank(toks, cands)
+    assert sr.select("doc_id").distinct().count() == 3
+    assert pr.count() == sr.count()
+    # scores non-negative, at least one positive
+    assert sr.filter(F.col("score") > 0).count() > 0
+
+
+def test_distributed_pagerank_matches_numpy(spark):
+    toks, cands = _cands(spark)
+    edges = cooccurrence_edges(cands)
+    ranks = distributed_pagerank(edges, iters=30)
+    got = {r["ngram"]: r["score"] for r in ranks.collect()}
+    # rebuild the same graph in numpy and power-iterate
+    e = edges.collect()
+    nodes = sorted({r["src"] for r in e} | {r["dst"] for r in e})
+    ix = {n: i for i, n in enumerate(nodes)}
+    adj = np.zeros((len(nodes), len(nodes)))
+    for r in e:
+        adj[ix[r["src"]], ix[r["dst"]]] += r["weight"]
+        adj[ix[r["dst"]], ix[r["src"]]] += r["weight"]
+    expect = _pagerank_numpy(adj, iters=30)
+    for n, i in ix.items():
+        assert abs(got[n] - expect[i]) < 1e-3, (n, got[n], expect[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-6
