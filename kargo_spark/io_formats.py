@@ -1,0 +1,213 @@
+"""Source/sink formats from the reference, re-expressed as DataFrame I/O.
+
+Covers SURVEY.md §2.1:
+* terms CSV sink/source        (terms.py:26-34 / 83-90: '|'-joined, rank order)
+* doccano JSONL sink/source    (corpus.py:521-540 / 191-217)
+* KARGEN CoNLL sink            (corpus.py:562-601: token-per-line TSV,
+                                blank-line sentence separators)
+* gzip TSV DF sink/source      (pke compute/load_document_frequency,
+                                main.py:91-97, sentinel --NB_DOC--)
+* BIOES term tagging           (corpus.py:473-490: interval stabbing +
+                                sequential lookahead finalization)
+* auto-annotation span merge   (terms.py:62-72: sort + merge overlaps)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .weighting import terms_csv_shape  # sink shape lives with ranking
+
+__all__ = [
+    "terms_csv_shape", "read_terms_csv", "write_doccano_jsonl",
+    "read_doccano_jsonl", "kargen_conll_lines", "write_df_tsv",
+    "read_df_tsv", "bioes_tag_tokens", "merge_spans",
+]
+
+
+def read_terms_csv(spark, path: str) -> DataFrame:
+    """Inverse of terms_csv_shape (terms.py:83-90): split + posexplode keeps
+    rank explicit (rank is 1-based like get_n_best output order)."""
+    raw = spark.read.csv(path, header=True)
+    return raw.select(
+        F.col("document_id").alias("doc_id"),
+        F.posexplode(F.split("terms", r"\|")).alias("rank0", "term"),
+    ).select("doc_id", (F.col("rank0") + 1).alias("rank"), "term")
+
+
+def doccano_rows(docs: DataFrame, text_cols: tuple[str, ...] = ("content",)) -> DataFrame:
+    """Doccano JSONL shape: {"text": title|p1|p2..., "meta":{"doc_id":...}}
+    (corpus.py:521-540 joins title+paragraphs with '|')."""
+    text = F.concat_ws("|", *[F.col(c) for c in text_cols])
+    return docs.select(
+        F.to_json(
+            F.struct(
+                text.alias("text"),
+                F.struct(F.col("doc_id").alias("doc_id")).alias("meta"),
+            )
+        ).alias("value")
+    )
+
+
+def write_doccano_jsonl(docs: DataFrame, path: str, text_cols: tuple[str, ...] = ("content",)) -> None:
+    doccano_rows(docs, text_cols).write.mode("overwrite").text(path)
+
+
+def read_doccano_jsonl(spark, path: str, drop_irrelevant: bool = True) -> DataFrame:
+    """TermLabels source (corpus.py:191-217): JSONL with labels spans;
+    docs with any IRRELEVANT label are dropped entirely (206-215)."""
+    df = spark.read.json(path)
+    out = df.select(
+        F.col("meta.doc_id").alias("doc_id"),
+        "text",
+        F.coalesce("labels", F.array()).alias("labels"),
+    )
+    if drop_irrelevant:
+        irrelevant = out.filter(
+            F.exists("labels", lambda l: l[2] == "IRRELEVANT")
+        ).select("doc_id")
+        out = out.join(irrelevant, "doc_id", "left_anti")
+    return out.select(
+        "doc_id", "text",
+        F.transform(
+            "labels",
+            lambda l: F.struct(
+                l[0].cast("int").alias("begin"),
+                l[1].cast("int").alias("end"),
+                l[2].cast("string").alias("label"),
+            ),
+        ).alias("labels"),
+    )
+
+
+def kargen_conll_lines(tokens: DataFrame, labels: DataFrame | None = None) -> DataFrame:
+    """KARGEN dataset sink (corpus.py:562-601): token-per-line TSV
+    ``token_id\\tword\\tner\\tterm_tag\\trel_label\\trel_tail_id`` with an
+    empty line between sentences; relation labels join onto the head span's
+    LAST token (corpus.py:572-578).
+
+    Returns one row per output line (ordered view): (doc_id, sentence_id,
+    line_no, line) — callers write with text sink after sorting.
+    """
+    t = tokens
+    if "ner" not in t.columns:
+        t = t.withColumn("ner", F.lit("O"))
+    if "term_tag" not in t.columns:
+        t = t.withColumn("term_tag", F.lit("O"))
+    if labels is not None:
+        lab = labels.select(
+            "doc_id", "sentence_id",
+            F.col("head_end_token").alias("token_id"),
+            F.col("rel_label"), F.col("rel_tail_id"),
+        )
+        t = t.join(lab, ["doc_id", "sentence_id", "token_id"], "left")
+    else:
+        t = t.withColumn("rel_label", F.lit(None).cast("string")).withColumn(
+            "rel_tail_id", F.lit(None).cast("int")
+        )
+    line = F.concat_ws(
+        "\t",
+        F.col("token_id").cast("string"), "word", "ner", "term_tag",
+        F.coalesce("rel_label", F.lit("N")),
+        F.coalesce(F.col("rel_tail_id").cast("string"), F.lit("0")),
+    )
+    body = t.select(
+        "doc_id", "sentence_id", F.col("token_id").alias("line_no"), line.alias("line")
+    )
+    # blank separator line after each sentence (line_no = max+1)
+    seps = (
+        t.groupBy("doc_id", "sentence_id")
+        .agg((F.max("token_id") + 1).alias("line_no"))
+        .withColumn("line", F.lit(""))
+    )
+    return body.unionByName(seps)
+
+
+def write_df_tsv(df_counts: DataFrame, n_docs: int, path: str) -> None:
+    """DF table sink with the --NB_DOC-- sentinel row (cargo_df.tsv.gz
+    format, main.py:91-97)."""
+    spark = df_counts.sparkSession
+    sentinel = spark.createDataFrame([("--NB_DOC--", n_docs)], "ngram string, df long")
+    out = sentinel.unionByName(df_counts.select("ngram", F.col("df").cast("long")))
+    out.select(F.concat_ws("\t", "ngram", F.col("df").cast("string")).alias("value")) \
+        .coalesce(1).write.mode("overwrite").option("compression", "gzip").text(path)
+
+
+def read_df_tsv(spark, path: str) -> tuple[DataFrame, int]:
+    """Inverse: returns (df_counts, n_docs) with the sentinel popped out."""
+    raw = spark.read.text(path).select(
+        F.split("value", "\t")[0].alias("ngram"),
+        F.split("value", "\t")[1].cast("long").alias("df"),
+    )
+    n_docs = raw.filter(F.col("ngram") == "--NB_DOC--").collect()[0]["df"]
+    return raw.filter(F.col("ngram") != "--NB_DOC--"), int(n_docs)
+
+
+def bioes_tag_tokens(tokens: DataFrame, spans: DataFrame) -> DataFrame:
+    """BIOES term tagging (corpus.py:473-490): mark tokens inside gold term
+    spans B/I, then finalize with a lookahead — last token of a span turns
+    B->S and I->E (486-490). Interval stabbing = range join on character
+    offsets; the lookahead = lead() window, exactly the reference's
+    sequential pass re-expressed.
+
+    spans: (doc_id, begin, end) character intervals.
+    """
+    j = tokens.join(
+        spans,
+        (tokens["doc_id"] == spans["doc_id"])
+        & (tokens["offset_begin"] >= spans["begin"])
+        & (tokens["offset_end"] <= spans["end"]),
+        "left",
+    ).select(
+        tokens["*"],
+        spans["begin"].alias("__sb"),
+    )
+    # B if first token of its span, I otherwise, O outside
+    w_span = Window.partitionBy("doc_id", "sentence_id", "__sb").orderBy("token_id")
+    tagged = j.withColumn(
+        "term_tag",
+        F.when(F.col("__sb").isNull(), "O")
+        .when(F.row_number().over(w_span) == 1, "B")
+        .otherwise("I"),
+    )
+    w = Window.partitionBy("doc_id", "sentence_id", "__sb").orderBy("token_id")
+    nxt = F.lead("term_tag").over(w)
+    return (
+        tagged.withColumn(
+            "term_tag",
+            F.when((F.col("term_tag") == "B") & (nxt.isNull() | (nxt == "O")), "S")
+            .when((F.col("term_tag") == "I") & (nxt.isNull() | (nxt == "O")), "E")
+            .otherwise(F.col("term_tag")),
+        )
+        .withColumn(
+            "term_tag",
+            F.when(F.col("term_tag") == "O", "O").otherwise(
+                F.concat(F.col("term_tag"), F.lit("-TERM"))
+            ),
+        )
+        .drop("__sb")
+    )
+
+
+def merge_spans(spans: DataFrame) -> DataFrame:
+    """Overlap merge of (doc_id, begin, end) label spans (terms.py:62-72:
+    sort by (begin, end), merge overlapping, extend on partial overlap).
+
+    Classic sort + running-max interval merge as window expressions: a span
+    starts a new group when its begin exceeds the running max end of all
+    earlier spans.
+    """
+    w = Window.partitionBy("doc_id").orderBy("begin", "end")
+    wmax = w.rowsBetween(Window.unboundedPreceding, -1)
+    grouped = spans.withColumn(
+        "__new_group",
+        F.when(F.col("begin") > F.coalesce(F.max("end").over(wmax), F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "__grp", F.sum("__new_group").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        grouped.groupBy("doc_id", "__grp")
+        .agg(F.min("begin").alias("begin"), F.max("end").alias("end"))
+        .drop("__grp")
+    )

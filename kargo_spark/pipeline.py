@@ -47,7 +47,7 @@ def rank_scores(ranker: str, tokens: DataFrame, cands: DataFrame,
 def run_pipeline(
     spark: SparkSession,
     documents: DataFrame,
-    workdir: str,
+    workdir: str | None,
     ranker: str = "tfidf",
     n_terms: int = 15,
     cluster_relations: bool = True,

@@ -1,0 +1,146 @@
+"""EmbedRank, TopicRank/MultipartiteRank, LDA topics, io_formats tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kargo_spark import candidates as C
+from kargo_spark import corpus, nlp
+from kargo_spark import io_formats as IO
+from kargo_spark.embedrank import embedrank_scores
+from kargo_spark.graph_rank import multipartite_rank, topic_rank
+from kargo_spark.synth import synth_documents
+
+
+@pytest.fixture(scope="module")
+def staged(spark):
+    docs = corpus.docs_clean(synth_documents(spark, n_rows=20))
+    toks = nlp.tokenize(docs)
+    cands = C.filter_candidates(C.mine_candidates(nlp.sentences_with_tokens(toks)))
+    return docs, toks, cands
+
+
+def test_embedrank_rank_order_and_dedup(spark, staged):
+    docs, _, cands = staged
+    out = embedrank_scores(docs, cands, n=5)
+    per_doc = out.groupBy("doc_id").count().collect()
+    assert all(r["count"] <= 5 for r in per_doc)
+    # MMR scores are strictly decreasing rank encodings
+    rows = out.filter(F.col("doc_id") == per_doc[0]["doc_id"]).orderBy(F.desc("score")).collect()
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert len({r["ngram"] for r in rows}) == len(rows)
+
+
+def test_topic_rank_one_score_per_topic_rep(spark, staged):
+    _, _, cands = staged
+    out = topic_rank(cands)
+    assert out.filter(F.col("score") <= 0).count() == 0
+    # no duplicate ngram per doc
+    assert out.groupBy("doc_id", "ngram").count().filter("count > 1").count() == 0
+
+
+def test_multipartite_scores_all_candidates(spark, staged):
+    _, _, cands = staged
+    n_cands = cands.select("doc_id", "lemma_term").distinct().count()
+    out = multipartite_rank(cands)
+    assert out.count() == n_cands
+
+
+def test_lda_topics_shapes(spark, staged):
+    from kargo_spark.topics import filter_by_topic, topic_model, topic_csv_shape
+
+    docs, _, _ = staged
+    doc_topics, topic_words = topic_model(docs, k=3, min_df=1.0, max_iter=5)
+    assert doc_topics.count() == docs.count()
+    assert doc_topics.filter((F.col("topic_id") < 0) | (F.col("topic_id") >= 3)).count() == 0
+    assert topic_words.count() == 3
+    kept = filter_by_topic(docs, doc_topics, topic_id=0, threshold=0.2)
+    assert kept.count() <= docs.count()
+    csv = topic_csv_shape(doc_topics)
+    assert csv.columns == ["document_id", "topic_id", "topic_prob"]
+
+
+def test_terms_csv_roundtrip(spark, staged, tmp_path):
+    from kargo_spark import weighting
+
+    _, _, cands = staged
+    df_tab, n = weighting.document_frequency(cands)
+    topk = weighting.top_k_terms(weighting.tfidf_scores(cands, df_tab, n), k=3)
+    csv = weighting.terms_csv_shape(topk)
+    path = str(tmp_path / "terms_csv")
+    csv.write.mode("overwrite").option("header", True).csv(path)
+    back = IO.read_terms_csv(spark, path)
+    orig = {(r["doc_id"], r["rank"]): r["term"] for r in
+            topk.select("doc_id", "rank", "term").collect()}
+    got = {(r["doc_id"], r["rank"]): r["term"] for r in back.collect()}
+    assert got == orig
+
+
+def test_doccano_roundtrip_drops_irrelevant(spark, tmp_path):
+    import json
+
+    path = str(tmp_path / "doccano")
+    rows = [
+        {"text": "good doc", "meta": {"doc_id": "a"}, "labels": [[0, 4, "TERM"]]},
+        {"text": "bad doc", "meta": {"doc_id": "b"}, "labels": [[0, 3, "IRRELEVANT"]]},
+        {"text": "no labels", "meta": {"doc_id": "c"}},
+    ]
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/part.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out = IO.read_doccano_jsonl(spark, path)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {"a", "c"}
+    lab = {r["doc_id"]: r["labels"] for r in out.collect()}
+    assert lab["a"][0]["begin"] == 0 and lab["a"][0]["label"] == "TERM"
+
+
+def test_df_tsv_roundtrip(spark, staged, tmp_path):
+    from kargo_spark import weighting
+
+    _, _, cands = staged
+    df_tab, n = weighting.document_frequency(cands)
+    path = str(tmp_path / "df_tsv")
+    IO.write_df_tsv(df_tab, n, path)
+    back, n2 = IO.read_df_tsv(spark, path)
+    assert n2 == n
+    assert {(r["ngram"], r["df"]) for r in back.collect()} == {
+        (r["ngram"], r["df"]) for r in df_tab.collect()
+    }
+
+
+def test_merge_spans_cases(spark):
+    spans = spark.createDataFrame(
+        [("d", 0, 5), ("d", 3, 9), ("d", 9, 12), ("d", 20, 25), ("e", 1, 2)],
+        "doc_id string, begin int, end int",
+    )
+    out = {(r["doc_id"], r["begin"], r["end"]) for r in IO.merge_spans(spans).collect()}
+    assert out == {("d", 0, 12), ("d", 20, 25), ("e", 1, 2)}
+
+
+def test_bioes_tags(spark):
+    toks = spark.createDataFrame(
+        [("x", 1, 1, "air", 0, 3), ("x", 1, 2, "cargo", 4, 9),
+         ("x", 1, 3, "grows", 10, 15), ("x", 1, 4, "fast", 16, 20)],
+        "doc_id string, sentence_id int, token_id int, word string, offset_begin long, offset_end long",
+    )
+    spans = spark.createDataFrame(
+        [("x", 0, 9), ("x", 16, 20)], "doc_id string, begin int, end int"
+    )
+    got = {r["word"]: r["term_tag"] for r in IO.bioes_tag_tokens(toks, spans).collect()}
+    assert got == {"air": "B-TERM", "cargo": "E-TERM", "grows": "O", "fast": "S-TERM"}
+
+
+def test_kargen_conll_lines(spark):
+    toks = spark.createDataFrame(
+        [("x", 1, 1, "air"), ("x", 1, 2, "cargo"), ("x", 2, 1, "next")],
+        "doc_id string, sentence_id int, token_id int, word string",
+    )
+    out = IO.kargen_conll_lines(toks).orderBy("doc_id", "sentence_id", "line_no").collect()
+    lines = [r["line"] for r in out]
+    assert lines == ["1\tair\tO\tO\tN\t0", "2\tcargo\tO\tO\tN\t0", "", "1\tnext\tO\tO\tN\t0", ""]
