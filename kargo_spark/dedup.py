@@ -133,28 +133,38 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "do
 def simhash64(col, seed: int = 42):
     """64-bit SimHash JVM-side: per token hash -> ±1 per bit -> sign of sum.
 
-    Implemented with an aggregate over bit positions using xxhash64 token
-    hashes; deterministic and codegen-friendly (no Python).
+    Single-pass formulation: ONE aggregate over the token-hash array with a
+    64-wide int accumulator (zip_with add of each hash's bit signs), then
+    one fold packs the sign vector into the long. The naive form (64
+    separate aggregates, one per bit) re-traverses the token array 64x and
+    blows up codegen — this version is O(tokens) per row.
     """
     toks = _tokens(col)
-    # for each of 64 bits: sum over tokens of (bit set ? 1 : -1); result bit = sum > 0
     th = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
-    bits = [
-        F.when(
-            F.aggregate(
-                th,
-                F.lit(0),
-                lambda acc, h: acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long")).alias(f"b{i}")
-        for i in range(64)
-    ]
-    sim = F.lit(0).cast("long")
-    for i, b in enumerate(bits):
-        sim = sim.bitwiseOR(F.shiftleft(b, i))
-    return sim
+    idx = F.sequence(F.lit(0), F.lit(63))
+    zero = F.array_repeat(F.lit(0).cast("long"), 64)
+    # DataFrame-API shiftright/shiftleft require literal shift counts; the
+    # SQL functions accept columns — call them by name for the lambda vars.
+    sr = lambda x, i: F.call_function("shiftright", x, i.cast("int"))  # noqa: E731
+    sl = lambda x, i: F.call_function("shiftleft", x, i.cast("int"))  # noqa: E731
+    sums = F.aggregate(
+        th,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            idx,
+            lambda a, i: a + F.when(sr(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            sums, idx,
+            lambda s, i: F.when(s > 0, sl(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc.bitwiseOR(b),
+    )
+    return packed
 
 
 def simhash_pairs(
