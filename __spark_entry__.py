@@ -219,6 +219,28 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.6): symmetric difference of the customer
+    sets {has orders} vs {balance > 0}, counted per side — exceptAll shape
+    (prediction doc-id set equality check, evaluation.py:30-37)."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    with_orders = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select("c_custkey")
+    positive = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    only_orders = with_orders.exceptAll(positive).select(
+        F.lit("orders_only").alias("side"), "c_custkey"
+    )
+    only_positive = positive.exceptAll(with_orders).select(
+        F.lit("positive_only").alias("side"), "c_custkey"
+    )
+    both = with_orders.intersect(positive).select(F.lit("both").alias("side"), "c_custkey")
+    return (
+        only_orders.unionByName(only_positive).unionByName(both)
+        .groupBy("side")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by totalprice per customer (top-n window, terms.py:171
     shape) over TPC-H orders."""
@@ -503,8 +525,6 @@ def q_kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full kargo_spark KG pipeline (mapInPandas NLP + candidate mining +
     tf-idf + pairs + triples) over the documents table re-shaped to the
     north-rule input schema."""
-    import tempfile
-
     from kargo_spark.pipeline import run_pipeline
 
     d = _docs(spark, sf_dir)
@@ -515,9 +535,8 @@ def q_kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("text").alias("content"),
     )
-    wd = tempfile.mkdtemp(prefix="kargo_entry_")
     out = run_pipeline(
-        spark, src, wd, ranker="tfidf", n_terms=10,
+        spark, src, None, ranker="tfidf", n_terms=10,
         cluster_relations=False, resume=False,
     )
     return out["triples"].select("subj", "pred", "obj", "support")
@@ -601,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
+        "set_ops": q_set_ops,
         "topk_window": q_topk_window,
         "cooc_pairs": q_cooc_pairs,
         "triples_agg": q_triples_agg,
@@ -750,6 +770,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_nationkey, count(*) AS n_suppliers
             FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
             GROUP BY s_nationkey
+        """,
+        "set_ops": """
+            WITH with_orders AS (
+                SELECT c_custkey FROM customer
+                WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            ), positive AS (
+                SELECT c_custkey FROM customer WHERE c_acctbal > 0
+            ),
+            sides AS (
+                SELECT 'orders_only' AS side, c_custkey FROM
+                    (SELECT * FROM with_orders EXCEPT ALL SELECT * FROM positive)
+                UNION ALL
+                SELECT 'positive_only' AS side, c_custkey FROM
+                    (SELECT * FROM positive EXCEPT ALL SELECT * FROM with_orders)
+                UNION ALL
+                SELECT 'both' AS side, c_custkey FROM
+                    (SELECT * FROM with_orders INTERSECT SELECT * FROM positive)
+            )
+            SELECT side, count(*) AS n FROM sides GROUP BY side
         """,
         "topk_window": """
             SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (

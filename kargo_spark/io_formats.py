@@ -190,6 +190,64 @@ def bioes_tag_tokens(tokens: DataFrame, spans: DataFrame) -> DataFrame:
     )
 
 
+def auto_annotation_rows(docs: DataFrame, terms: DataFrame) -> DataFrame:
+    """Auto-annotation doccano sink (terms.py:36-81): for each document,
+    locate EVERY occurrence of each of its extracted terms in the text
+    (case-insensitive, token-boundary-anchored — the reference tests
+    ``startswith`` at token begin offsets, terms.py:57-60), merge
+    overlapping spans (terms.py:62-72), emit doccano rows
+    ``{"text", "labels": [[b,e,"AUTO"]], "meta":{"doc_id"}}``.
+
+    Occurrence location runs in a grouped pandas UDF (regex findall per
+    doc over its own top-k terms — bounded work per group); the overlap
+    merge reuses the window-based ``merge_spans``.
+    """
+    import re
+
+    import pandas as pd
+
+    term_lists = terms.groupBy("doc_id").agg(F.collect_set("term").alias("terms"))
+    joined = docs.select("doc_id", "content").join(term_lists, "doc_id", "inner")
+
+    def locate(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for doc_id, content, ts in zip(pdf["doc_id"], pdf["content"], pdf["terms"]):
+            low = content.lower()
+            for t in ts:
+                pat = re.compile(r"(?<![a-z0-9])" + re.escape(t.lower()) + r"(?![a-z0-9])")
+                for m in pat.finditer(low):
+                    out.append((doc_id, m.start(), m.end()))
+        return pd.DataFrame(out, columns=["doc_id", "begin", "end"])
+
+    spans = joined.groupBy("doc_id").applyInPandas(
+        locate, "doc_id string, begin int, end int"
+    )
+    merged = merge_spans(spans)
+    labels = merged.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.array(F.col("begin"), F.col("end")))
+        ).alias("spans")
+    )
+    return (
+        docs.select("doc_id", "content")
+        .join(labels, "doc_id", "left")
+        .select(
+            F.to_json(
+                F.struct(
+                    F.col("content").alias("text"),
+                    F.transform(
+                        F.coalesce("spans", F.array()),
+                        lambda s: F.array(
+                            s[0].cast("string"), s[1].cast("string"), F.lit("AUTO")
+                        ),
+                    ).alias("labels"),
+                    F.struct(F.col("doc_id").alias("doc_id")).alias("meta"),
+                )
+            ).alias("value")
+        )
+    )
+
+
 def merge_spans(spans: DataFrame) -> DataFrame:
     """Overlap merge of (doc_id, begin, end) label spans (terms.py:62-72:
     sort by (begin, end), merge overlapping, extend on partial overlap).

@@ -136,6 +136,24 @@ def test_bioes_tags(spark):
     assert got == {"air": "B-TERM", "cargo": "E-TERM", "grows": "O", "fast": "S-TERM"}
 
 
+def test_auto_annotation_locates_and_merges(spark):
+    import json
+
+    docs = spark.createDataFrame(
+        [("d1", "Air cargo grows. air cargo again! Pharma too."), ("d2", "nothing here")],
+        "doc_id string, content string",
+    )
+    terms = spark.createDataFrame(
+        [("d1", "air cargo"), ("d1", "cargo"), ("d1", "pharma")], "doc_id string, term string"
+    )
+    rows = {json.loads(r["value"])["meta"]["doc_id"]: json.loads(r["value"])
+            for r in IO.auto_annotation_rows(docs, terms).collect()}
+    # 'cargo' occurrences overlap 'air cargo' -> merged spans, not doubled
+    spans = [(int(b), int(e)) for b, e, _ in rows["d1"]["labels"]]
+    assert spans == [(0, 9), (17, 26), (34, 40)]
+    assert rows["d2"]["labels"] == []
+
+
 def test_kargen_conll_lines(spark):
     toks = spark.createDataFrame(
         [("x", 1, 1, "air"), ("x", 1, 2, "cargo"), ("x", 2, 1, "next")],
