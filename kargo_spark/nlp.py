@@ -87,29 +87,41 @@ def _lemma(word: str, pos: str) -> str:
 
 
 def _annotate_doc(doc_id: str, content: str) -> list[tuple]:
+    """Single linear pass: tokenize the whole document once; a sentence
+    break occurs at a token boundary when the inter-token gap contains a
+    newline, or contains whitespace and the previous token ends in [.!?]
+    (equivalent to splitting on ``(?<=[.!?])\\s+|\\n+`` then tokenizing
+    each segment, reference corpus.py:513 nltk-sentence-split semantics,
+    but without the O(segments x find) rescans)."""
     rows = []
-    sent_id = 0
-    pos_cursor = 0
-    # sentence split preserving absolute offsets
-    for seg in _SENT_BREAK.split(content):
-        if seg is None:
-            continue
-        start = content.find(seg, pos_cursor)
-        if start < 0:
-            start = pos_cursor
-        pos_cursor = start + len(seg)
-        if not seg.strip():
-            continue
-        sent_id += 1
-        tok_id = 0
-        for m in _TOKEN.finditer(seg):
-            tok_id += 1
-            word = m.group(0)
+    sent_id = 1
+    tok_id = 0
+    prev_end = 0
+    prev_last_char = ""
+    # vocabulary is tiny relative to token count: memoize (word, sent_start)
+    # -> (pos, lemma) so tagging cost is per-type, not per-token
+    memo: dict[tuple[str, bool], tuple[str, str]] = {}
+    for m in _TOKEN.finditer(content):
+        # gaps are pure whitespace (the token regex consumes every
+        # non-whitespace char), so: break on newline, or on any whitespace
+        # following sentence-final punctuation
+        gap = content[prev_end:m.start()]
+        if tok_id > 0 and gap and ("\n" in gap or prev_last_char in ".!?"):
+            sent_id += 1
+            tok_id = 0
+        tok_id += 1
+        word = m.group(0)
+        key = (word, tok_id == 1)
+        hit = memo.get(key)
+        if hit is None:
             pos = _tag_word(word, tok_id == 1)
-            rows.append(
-                (doc_id, sent_id, tok_id, word, _lemma(word, pos), pos,
-                 start + m.start(), start + m.end())
-            )
+            hit = (pos, _lemma(word, pos))
+            memo[key] = hit
+        rows.append(
+            (doc_id, sent_id, tok_id, word, hit[1], hit[0], m.start(), m.end())
+        )
+        prev_end = m.end()
+        prev_last_char = word[-1]
     return rows
 
 
