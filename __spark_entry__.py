@@ -141,6 +141,40 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kpminer_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPMiner-style weighting (pke KPMiner, main.py:111-114): least-seen
+    frequency cutoff (tf >= 2), first occurrence within the first 200
+    tokens, doc-level boost = min(n_tokens/(n_distinct * 2.3), 3), score =
+    tf * boost * log2(N/df); top-5 per doc."""
+    wp = _word_positions(spark, sf_dir).filter(F.length("word") >= 3)
+    tf = wp.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("pos").alias("first_pos")
+    )
+    stats = wp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.countDistinct("word").alias("n_distinct")
+    )
+    dfreq = wp.select("doc_id", "word").distinct().groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = _docs(spark, sf_dir).count()
+    boost = F.least(F.col("n_tokens") / (F.col("n_distinct") * F.lit(2.3)), F.lit(3.0))
+    scored = (
+        tf.filter((F.col("tf") >= 2) & (F.col("first_pos") <= 200))
+        .join(F.broadcast(dfreq), "word")
+        .join(F.broadcast(stats), "doc_id")
+        .select(
+            "doc_id", "word",
+            F.round(F.col("tf") * boost * F.log2(F.lit(float(n_docs)) / F.col("df")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "word", F.round("score", 4).alias("score"), "rank")
+    )
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus summary stats per doc (get_summary corpus.py:603-669)."""
     d = _docs(spark, sf_dir)
@@ -615,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "doc_frequency": q_doc_frequency,
         "tfidf_topk": q_tfidf_topk,
+        "kpminer_topk": q_kpminer_topk,
         "doc_stats": q_doc_stats,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
@@ -734,6 +769,37 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word HAVING count(DISTINCT doc_id) >= 2
         """,
         "tfidf_topk": tfidf,
+        "kpminer_topk": f"""
+            WITH wp AS (
+                SELECT doc_id, word, pos FROM ({word_pos}) WHERE length(word) >= 3
+            ),
+            tf AS (
+                SELECT doc_id, word, count(*) AS tf, min(pos) AS first_pos
+                FROM wp GROUP BY doc_id, word
+            ),
+            stats AS (
+                SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_distinct
+                FROM wp GROUP BY doc_id
+            ),
+            dfreq AS (
+                SELECT word, count(DISTINCT doc_id) AS df FROM wp GROUP BY word
+            ),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.word,
+                       round(tf.tf * least(stats.n_tokens / (stats.n_distinct * 2.3), 3.0)
+                             * log2(n.n_docs / dfreq.df::DOUBLE), 6) AS score
+                FROM tf
+                JOIN dfreq USING (word) JOIN stats USING (doc_id) CROSS JOIN n
+                WHERE tf.tf >= 2 AND tf.first_pos <= 200
+            ),
+            ranked AS (
+                SELECT doc_id, word, score,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rank
+                FROM scored
+            )
+            SELECT doc_id, word, round(score, 4) AS score, rank FROM ranked WHERE rank <= 5
+        """,
         "doc_stats": f"""
             SELECT doc_id,
                    len({toks})::BIGINT AS n_words,
