@@ -133,8 +133,10 @@ def _lazy_triples(spark, docs):
     from kargo_spark.skew import size_bucketed
 
     dc = corpus.docs_clean(docs)
-    tokens = nlp.tokenize(size_bucketed(dc, "content")).persist()
-    sentences = nlp.sentences_with_tokens(tokens)
+    tokens = nlp.tokenize(size_bucketed(dc, "content"))
+    # sentences (not tokens) is the shared node: candidates and pairs both
+    # consume the grouped form — persisting it saves one full regroup shuffle
+    sentences = nlp.sentences_with_tokens(tokens).persist()
     cands = C.filter_candidates(C.mine_candidates(sentences)).persist()
     df_tab, n_docs = weighting.document_frequency(cands)
     scores = weighting.tfidf_scores(cands, df_tab, n_docs)

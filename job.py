@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the KG-construction pipeline.
+
+Cluster deployment (the north-rule shape):
+
+    zip -r kargo_spark.zip kargo_spark
+    spark-submit --py-files kargo_spark.zip job.py \
+        --input  <parquet/iceberg path of (repo,path,commit,lang,content)> \
+        --workdir <checkpoint root> --ranker tfidf --n-terms 15
+
+Local smoke (synthesizes input):
+
+    python job.py --synth 1000 --workdir /tmp/kargo_job
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="input table path (parquet dir)")
+    ap.add_argument("--synth", type=int, default=0, help="synthesize N input rows instead")
+    ap.add_argument("--workdir", required=True, help="checkpoint root")
+    ap.add_argument("--ranker", default="tfidf",
+                    choices=["tfidf", "kpminer", "yake", "singlerank", "positionrank"])
+    ap.add_argument("--n-terms", type=int, default=15)
+    ap.add_argument("--cluster-relations", action="store_true")
+    ap.add_argument("--scalable-clustering", action="store_true")
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from kargo_spark.pipeline import run_pipeline
+    from kargo_spark.session import get_spark
+
+    spark = get_spark(app_name="kargo_job")
+    if args.synth:
+        from kargo_spark.synth import synth_documents
+
+        docs = synth_documents(spark, n_rows=args.synth)
+    elif args.input:
+        docs = spark.read.parquet(args.input)
+    else:
+        raise SystemExit("one of --input/--synth is required")
+
+    out = run_pipeline(
+        spark, docs, args.workdir,
+        ranker=args.ranker, n_terms=args.n_terms,
+        cluster_relations=args.cluster_relations,
+        scalable_clustering=args.scalable_clustering,
+        resume=not args.no_resume,
+    )
+    metrics = [r.asDict() for r in out["metrics"].collect()]
+    print(json.dumps({"stages": metrics, "triples": out["triples"].count()}))
+
+
+if __name__ == "__main__":
+    main()

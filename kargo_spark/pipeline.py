@@ -64,7 +64,9 @@ def run_pipeline(
         "tokens",
         lambda: nlp.tokenize(size_bucketed(docs_clean, "content")),
     )
-    sentences = nlp.sentences_with_tokens(tokens)  # cheap regroup, not checkpointed
+    # grouped form consumed by both candidates and pairs; persist so the
+    # (doc, sentence) regroup shuffle happens once
+    sentences = nlp.sentences_with_tokens(tokens).persist()
     cands = ck.run_stage(
         "candidates",
         lambda: C.filter_candidates(C.mine_candidates(sentences), stopwords=C.DEFAULT_STOPWORDS),

@@ -56,7 +56,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONPATH", _PKG_PARENT)
-        .config("spark.driver.memory", os.environ.get("KARGO_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("KARGO_DRIVER_MEM", "24g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,67 @@
+"""Property-based tests (hypothesis) against naive Python oracles."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from kargo_spark.nlp import _annotate_doc
+
+span_lists = st.lists(
+    st.tuples(st.integers(0, 60), st.integers(1, 15)).map(lambda t: (t[0], t[0] + t[1])),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _merge_naive(spans):
+    out = []
+    for b, e in sorted(spans):
+        if out and b <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], e))
+        else:
+            out.append((b, e))
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(span_lists)
+def test_merge_spans_matches_naive(spark_global, spans):
+    from kargo_spark.io_formats import merge_spans
+
+    df = spark_global.createDataFrame(
+        [("d", b, e) for b, e in spans], "doc_id string, begin int, end int"
+    )
+    got = sorted((r["begin"], r["end"]) for r in merge_spans(df).collect())
+    assert got == _merge_naive(spans)
+
+
+texts = st.text(
+    alphabet=st.sampled_from(list("abc XY.!?\n09“”‘’")), min_size=0, max_size=200
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(texts)
+def test_tokenizer_offsets_always_roundtrip(text):
+    rows = _annotate_doc("d", text)
+    for r in rows:
+        assert text[r[6]:r[7]] == r[3]  # offsets slice back to the word
+    # token ids 1-based consecutive within each sentence
+    by_sent = {}
+    for r in rows:
+        by_sent.setdefault(r[1], []).append(r[2])
+    for ids in by_sent.values():
+        assert ids == list(range(1, len(ids) + 1))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet="ab c", min_size=0, max_size=20), min_size=1, max_size=8))
+def test_simhash_identical_docs_hamming_zero(spark_global, texts_list):
+    from pyspark.sql import functions as F
+
+    from kargo_spark.dedup import simhash64
+
+    rows = [(i, t) for i, t in enumerate(texts_list)] + [(100, texts_list[0])]
+    df = spark_global.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["s"] for r in df.select("doc_id", simhash64(F.col("text")).alias("s")).collect()}
+    assert out[0] == out[100]
