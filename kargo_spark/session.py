@@ -56,6 +56,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONPATH", _PKG_PARENT)
+        # local-mode shuffles go through spark.local.dir; /tmp here is
+        # disk-backed (vda) while /dev/shm is tmpfs — shuffle IO would
+        # otherwise serialize the multi-core runs
+        .config("spark.local.dir", os.environ.get("KARGO_LOCAL_DIR", "/dev/shm/kargo_spark_local"))
         .config("spark.driver.memory", os.environ.get("KARGO_DRIVER_MEM", "24g"))
     )
     spark = builder.getOrCreate()
