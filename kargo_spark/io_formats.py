@@ -56,10 +56,20 @@ def write_doccano_jsonl(docs: DataFrame, path: str, text_cols: tuple[str, ...] =
 
 def read_doccano_jsonl(spark, path: str, drop_irrelevant: bool = True) -> DataFrame:
     """TermLabels source (corpus.py:191-217): JSONL with labels spans;
-    docs with any IRRELEVANT label are dropped entirely (206-215)."""
+    docs with any IRRELEVANT label are dropped entirely (206-215); missing
+    meta.doc_id falls back to md5(title)[-6:] where title is the text up to
+    the first '|' (corpus.py:198-200 fallback rule)."""
     df = spark.read.json(path)
+    has_meta_id = False
+    if "meta" in df.columns:
+        dt = df.schema["meta"].dataType
+        has_meta_id = hasattr(dt, "fieldNames") and "doc_id" in dt.fieldNames()
+    meta_doc_id = (
+        F.col("meta.doc_id").cast("string") if has_meta_id else F.lit(None).cast("string")
+    )
+    fallback = F.substring(F.md5(F.split_part(F.col("text"), F.lit("|"), F.lit(1))), -6, 6)
     out = df.select(
-        F.col("meta.doc_id").alias("doc_id"),
+        F.coalesce(meta_doc_id, fallback).alias("doc_id"),
         "text",
         F.coalesce("labels", F.array()).alias("labels"),
     )
@@ -78,6 +88,34 @@ def read_doccano_jsonl(spark, path: str, drop_irrelevant: bool = True) -> DataFr
                 l[2].cast("string").alias("label"),
             ),
         ).alias("labels"),
+    )
+
+
+def read_relation_labels(spark, path: str) -> DataFrame:
+    """Gold relation-label source (data/annotations/relations/
+    all_labels.json; FIXTURES.md F6): nested
+    ``{dataset: {doc_id: {sent_id: {"head|tail": "YES"/"NO"}}}}`` ->
+    ``(dataset, doc_id, sent_id, head, tail, label int)``.
+
+    The file is a single nested JSON object (not JSONL): read as whole-text
+    and flatten with explode over map entries — no driver-side parsing of
+    row data beyond the one file read.
+    """
+    raw = spark.read.text(path, wholetext=True)
+    typ = "map<string, map<string, map<string, map<string, string>>>>"
+    parsed = raw.select(F.from_json("value", typ).alias("m"))
+    return (
+        parsed.select(F.explode("m").alias("dataset", "docs"))
+        .select("dataset", F.explode("docs").alias("doc_id", "sents"))
+        .select("dataset", "doc_id", F.explode("sents").alias("sent_id_str", "pairs"))
+        .select("dataset", "doc_id", F.col("sent_id_str").cast("int").alias("sent_id"),
+                F.explode("pairs").alias("pair", "yn"))
+        .select(
+            "dataset", "doc_id", "sent_id",
+            F.split_part("pair", F.lit("|"), F.lit(1)).alias("head"),
+            F.split_part("pair", F.lit("|"), F.lit(2)).alias("tail"),
+            F.when(F.col("yn") == "YES", 1).otherwise(0).alias("label"),
+        )
     )
 
 
