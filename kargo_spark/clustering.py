@@ -140,6 +140,27 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels
 
 
+def dbscan_sweep(
+    vectors: DataFrame,
+    eps_values: tuple[float, ...] = (0.25, 0.275, 0.3, 0.325, 0.335, 0.35),
+    min_samples_values: tuple[int, ...] = (0, 25, 75, 85, 100),
+    exact: bool = True,
+    **kw,
+) -> dict[tuple[float, int], DataFrame]:
+    """The reference's DBSCAN parameter sweep (README.md:36-38; filename
+    convention ``{set}_{ranker}_{eps}_{min_samples}`` in
+    results/extracted_relations/): one clustering per (eps, min_samples).
+
+    Returns {(eps, ms): labels_df}. min_samples=0 degrades to 1 (every
+    point is core — sklearn semantics the reference relied on)."""
+    out = {}
+    for eps in eps_values:
+        for ms in min_samples_values:
+            fn = dbscan_exact if exact else dbscan_scalable
+            out[(eps, ms)] = fn(vectors, eps=eps, min_samples=max(ms, 1), **kw)
+    return out
+
+
 def dbscan_scalable(
     vectors: DataFrame,
     eps: float = 0.325,

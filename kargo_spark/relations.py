@@ -84,6 +84,54 @@ def pairs(mention_df: DataFrame, sentences: DataFrame | None = None) -> DataFram
     return p
 
 
+def relation_json_rows(labeled_pairs: DataFrame) -> DataFrame:
+    """Cluster-file sink shape (reference artifact
+    results/extracted_relations/relation_jsons/*.json — D6 in SURVEY §1):
+    one JSON object per cluster id with its member records
+    {text, head_words, tail_words, in_between_words}; noise cluster -1
+    included. Emitted as (cluster string, members_json string) rows; a
+    driver-side collect of the tiny per-cluster strings reassembles the
+    reference's single-file form."""
+    member = F.to_json(
+        F.struct(
+            F.coalesce(F.col("context"), F.lit("")).alias("text"),
+            F.col("head").alias("head_words"),
+            F.col("tail").alias("tail_words"),
+            F.coalesce(F.col("in_between_words"), F.lit("")).alias("in_between_words"),
+        )
+    )
+    return (
+        labeled_pairs.withColumn("member", member)
+        .groupBy(F.col("cluster").cast("string").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.concat(
+                F.lit("["), F.array_join(F.collect_list("member"), ","), F.lit("]")
+            ).alias("members_json"),
+        )
+    )
+
+
+def labels_map_rows(pair_df: DataFrame, gold: DataFrame | None = None) -> DataFrame:
+    """Label-map sink shape (reference artifact
+    results/extracted_relations/labels/*.json: doc -> sent -> "head|tail"
+    -> 0/1): rows (doc_id, sent_id, pair_key, label). Pairs join the gold
+    YES/NO table when given, else label 0."""
+    key = F.lower(F.concat_ws("|", "head", "tail"))
+    out = pair_df.select(
+        "doc_id", F.col("sentence_id").alias("sent_id"), key.alias("pair_key")
+    )
+    if gold is not None:
+        g = gold.select(
+            "doc_id",
+            F.col("sent_id"),
+            F.lower(F.concat_ws("|", "head", "tail")).alias("pair_key"),
+            "label",
+        )
+        return out.join(g, ["doc_id", "sent_id", "pair_key"], "left").fillna({"label": 0})
+    return out.withColumn("label", F.lit(0))
+
+
 def triples_from_pairs(pair_df: DataFrame, pred_col: str | None = None) -> DataFrame:
     """Deduplicated (subj, pred, obj) triple store with support + provenance.
 

@@ -52,6 +52,34 @@ def test_triples_dedup_and_support(spark):
     assert t.filter(F.col("support") < 1).count() == 0
 
 
+def test_relation_artifact_shapes(spark):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from kargo_spark.relations import labels_map_rows, relation_json_rows
+
+    pairs = spark.createDataFrame(
+        [("d1", 1, "air cargo", "pharma", "moved", 0),
+         ("d1", 1, "pharma", "hub", "to the", 0),
+         ("d2", 3, "a", "b", "x", -1)],
+        "doc_id string, sentence_id int, head string, tail string, in_between_words string, cluster long",
+    ).withColumn("context", F.concat_ws(" ", "head", "in_between_words", "tail"))
+    rj = {r["cluster"]: r for r in relation_json_rows(pairs).collect()}
+    assert rj["0"]["n_members"] == 2
+    assert "-1" in rj  # noise cluster present (reference keeps it)
+    m = json.loads(rj["0"]["members_json"])[0]
+    assert set(m) == {"text", "head_words", "tail_words", "in_between_words"}
+    gold = spark.createDataFrame(
+        [("d1", 1, "air cargo", "pharma", 1)],
+        "doc_id string, sent_id int, head string, tail string, label int",
+    )
+    lm = {(r["doc_id"], r["sent_id"], r["pair_key"]): r["label"]
+          for r in labels_map_rows(pairs, gold).collect()}
+    assert lm[("d1", 1, "air cargo|pharma")] == 1
+    assert lm[("d1", 1, "pharma|hub")] == 0
+
+
 def _eval_frames(spark):
     preds = spark.createDataFrame(
         [
