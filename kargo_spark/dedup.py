@@ -87,9 +87,11 @@ def minhash_lsh_pairs(
     base = docs.select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed)).persist()
+    # band table carries ONLY (id, band, bucket): the shingle array must not
+    # be duplicated across bands nor shuffled through the candidate join
     banded = base.select(
-        "id", "sh",
+        "id",
         F.explode(
             F.array(
                 *[
@@ -103,19 +105,23 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"),
-                F.col("a.sh").alias("sha"), F.col("b.sh").alias("shb"))
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
         .dropDuplicates(["a", "b"])
+    )
+    sh_tab = base.select("id", "sh")
+    joined = (
+        cand.join(sh_tab.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), "a")
+        .join(sh_tab.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), "b")
     )
     jac = F.size(F.array_intersect("sha", "shb")) / F.size(F.array_union("sha", "shb"))
     return (
-        cand.withColumn("jaccard", jac.cast("double"))
+        joined.withColumn("jaccard", jac.cast("double"))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("a", "b", "jaccard")
     )
