@@ -90,20 +90,28 @@ def run_scaling() -> dict:
     """
     max_load = float(os.environ.get("KARGO_SCALING_MAX_LOAD", "6"))
     max_wait = float(os.environ.get("KARGO_SCALING_MAX_WAIT_SEC", "600"))
+
+    def _pin(cpus: str) -> list[str]:
+        # cgroup-faithful simulation of an N-core executor: without pinning,
+        # "local[N]" leaks past N CPUs (GC/netty/Python workers), making the
+        # small config an unfair baseline
+        return ["taskset", "-c", f"0-{int(cpus) - 1}"]
+
+    def _wait_quiet() -> None:
+        waited = 0.0
+        while os.getloadavg()[0] > max_load and waited < max_wait:
+            time.sleep(15)
+            waited += 15
+
     results = {}
     for cpus in (SCALING_N, SCALING_4N):
         reps = []
         for _ in range(SCALING_REPS):
-            # opportunistic scheduling on the shared host: wait for a quiet
-            # window so external load doesn't starve the high-core config
-            waited = 0.0
-            while os.getloadavg()[0] > max_load and waited < max_wait:
-                time.sleep(15)
-                waited += 15
+            _wait_quiet()
             env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
                        KARGO_SHUFFLE_PARTITIONS=str(int(cpus) * 4))
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--pipeline-throughput"],
+                _pin(cpus) + [sys.executable, os.path.abspath(__file__), "--pipeline-throughput"],
                 env=env, capture_output=True, text=True, timeout=3000,
             )
             lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
@@ -116,9 +124,24 @@ def run_scaling() -> dict:
         best["all_secs"] = [r["sec"] for r in reps]
         best["all_loads"] = [r["loadavg_1m"] for r in reps]
         results[cpus] = best
+    # hardware calibration: the best any Spark JVM workload scales on this
+    # host (whole-stage-codegen sum over range, same pinning) — the ceiling
+    # against which pipeline efficiency should be judged on this VM
+    calib = {}
+    for cpus in (SCALING_N, SCALING_4N):
+        _wait_quiet()
+        out = subprocess.run(
+            _pin(cpus) + [sys.executable, os.path.abspath(__file__), "--jvm-calibration"],
+            env=dict(os.environ, SPARK_GRAFT_CPUS=cpus),
+            capture_output=True, text=True, timeout=600,
+        )
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        calib[cpus] = json.loads(lines[-1]) if lines else {"sec": None}
     rn = results[SCALING_N]["docs_per_sec"]
     r4n = results[SCALING_4N]["docs_per_sec"]
     eff = (r4n / (4 * rn)) if rn else 0.0
+    c_n, c_4n = calib[SCALING_N].get("sec"), calib[SCALING_4N].get("sec")
+    jvm_ceiling = round((c_n / c_4n) / 4, 3) if c_n and c_4n else None
     return {
         "metric": f"scaling_efficiency_{SCALING_N}_to_{SCALING_4N}",
         "value": round(eff, 3),
@@ -127,8 +150,32 @@ def run_scaling() -> dict:
         f"throughput_local{SCALING_N}_docs_per_sec": rn,
         f"throughput_local{SCALING_4N}_docs_per_sec": r4n,
         f"triples_per_sec_local{SCALING_4N}": results[SCALING_4N]["triples_per_sec"],
+        "jvm_scaling_ceiling_on_this_host": jvm_ceiling,
+        "efficiency_normalized_to_jvm_ceiling": round(eff / jvm_ceiling, 3) if jvm_ceiling else None,
         "detail": results,
+        "calibration": calib,
     }
+
+
+def run_jvm_calibration() -> dict:
+    """Whole-stage-codegen hash+sum over range at local[$CPUS]: the purest
+    parallel Spark JVM workload — its 4N/N speedup is this host's ceiling."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.local.dir", "/dev/shm/kargo_calib")
+        .getOrCreate()
+    )
+    spark.range(10**6).select(F.sum(F.xxhash64("id"))).collect()
+    t0 = time.time()
+    spark.range(4 * 10**9).select(
+        F.sum(F.xxhash64(F.col("id"), F.col("id") + 1, F.col("id") * 3))
+    ).collect()
+    return {"cpus": CPUS, "sec": round(time.time() - t0, 3)}
 
 
 def _lazy_triples(spark, docs):
@@ -201,6 +248,8 @@ if __name__ == "__main__":
         print(json.dumps(run_single(sys.argv[sys.argv.index("--single") + 1])))
     elif "--pipeline-throughput" in sys.argv:
         print(json.dumps(run_pipeline_throughput()))
+    elif "--jvm-calibration" in sys.argv:
+        print(json.dumps(run_jvm_calibration()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
