@@ -545,6 +545,15 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(d, "text", "doc_id", max_hamming=8)
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kargo_spark.dedup import embedding_neardup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.35, n_planes=4).select(
+        "a", "b", F.round("cos", 4).alias("cos")
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kargo_spark.similarity import lsh_topk
 
@@ -671,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL oracle):
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
+        "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "multimodal_features": q_multimodal_features,

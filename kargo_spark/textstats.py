@@ -7,6 +7,9 @@ per-document over 100 TB, so no Python may touch the hot path.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -107,6 +110,21 @@ def quality_score(col, stopwords: list[str] | None = None):
         alpha_ratio.cast("double").alias("alpha_ratio"),
         quality.cast("double").alias("quality"),
     )
+
+
+def make_html_unescape():
+    """html.unescape as a scalar-iterator pandas_udf (reference terms.py:80,
+    corpus.py:539 call it per doc; no native Spark equivalent)."""
+    import html
+
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def unescape(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield s.map(lambda x: html.unescape(x) if x is not None else None)
+
+    return unescape
 
 
 def fingerprint(col, n: int = 4):

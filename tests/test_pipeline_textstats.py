@@ -110,6 +110,13 @@ def test_textstats_language_and_quality(spark):
     assert got[1]["q"]["quality"] > got[3]["q"]["quality"]
 
 
+def test_html_unescape_udf(spark):
+    df = spark.createDataFrame([("a &amp; b &lt;c&gt;",), (None,)], "t string")
+    un = textstats.make_html_unescape()
+    out = [r["u"] for r in df.select(un(F.col("t")).alias("u")).collect()]
+    assert out == ["a & b <c>", None]
+
+
 def test_fingerprint_order_insensitive_tail(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f"), (2, "a b c d e f"), (3, "totally other words here now")],
