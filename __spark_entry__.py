@@ -175,6 +175,53 @@ def q_kpminer_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_yake_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified YAKE (pke YAKE shape, main.py:115-121): per-word doc-local
+    features — normalized frequency tf/(mean+std), median position, sentence
+    spread — composed into word scores; single-word candidates (len >= 3)
+    scored w/(tf*(1+w)), negated so max-is-best; top-5 per doc. Sentences =
+    fixed 10-word blocks (the synth documents table has no sentence marks).
+    Pure Column math: two doc-local aggs + broadcast joins, no UDF."""
+    wp = _word_positions(spark, sf_dir).select(
+        "doc_id", "word",
+        (F.col("pos") - 1).alias("i"),
+        F.floor((F.col("pos") - 1) / 10).alias("sid"),
+    )
+    wstats = wp.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("tf_w"),
+        F.median("i").alias("med"),
+        F.countDistinct("sid").alias("nsw"),
+    )
+    dstats = wstats.groupBy("doc_id").agg(
+        F.avg("tf_w").alias("mean_f"),
+        F.coalesce(F.stddev_pop("tf_w"), F.lit(0.0)).alias("std_f0"),
+        F.max("tf_w").alias("max_f"),
+    )
+    nsents = wp.groupBy("doc_id").agg(
+        F.greatest(F.max("sid"), F.lit(1)).alias("n_sents")
+    )
+    j = wstats.join(F.broadcast(dstats), "doc_id").join(F.broadcast(nsents), "doc_id")
+    std_f = F.when(F.col("std_f0") == 0, F.lit(1.0)).otherwise(F.col("std_f0"))
+    t_pos = F.log(F.log(F.lit(3.0) + F.col("med")))
+    t_freq = F.col("tf_w") / (F.col("mean_f") + std_f)
+    t_spread = F.col("nsw") / F.col("n_sents")
+    wscore = F.round(
+        t_pos / F.greatest(F.lit(1e-9), t_freq / F.col("max_f") * (F.lit(1) + t_spread)), 8
+    )
+    scored = j.filter(F.length("word") >= 3).select(
+        "doc_id", "word",
+        F.round(-(wscore / (F.col("tf_w") * (F.lit(1) + wscore))), 6).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("word"))
+    # no second rounding: round(round(x,6),4) manufactures exact .5
+    # boundaries at the 4th digit, where Spark/DuckDB tie-rounding diverges
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "word", "score", "rank")
+    )
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus summary stats per doc (get_summary corpus.py:603-669)."""
     d = _docs(spark, sf_dir)
@@ -530,6 +577,10 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs at tau=0.2. Banding is derived from the
+    threshold (b=32, r=1 -> miss prob (1-J)^32 <= 0.08% at J=0.2) and the
+    verify step is exact Jaccard, so the output equals ngram_jaccard_pairs
+    at the same tau — which is the DuckDB oracle."""
     from kargo_spark.dedup import minhash_lsh_pairs
 
     d = _docs(spark, sf_dir)
@@ -580,7 +631,7 @@ def q_kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_pipeline(
         spark, src, None, ranker="tfidf", n_terms=10,
-        cluster_relations=False, resume=False,
+        cluster_relations=False, linking=False, resume=False,
     )
     return out["triples"].select("subj", "pred", "obj", "support")
 
@@ -630,6 +681,20 @@ def q_corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_summary parity rollup (reference corpus.py:603-669): per-doc
+    sentence / POS / NER / lemma counts over the annotated token table
+    (heuristic NER+POS from the mapInPandas stage — rows-only check)."""
+    from kargo_spark import nlp
+    from kargo_spark.corpus import corpus_summary
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
+    )
+    doc_stats, _, _ = corpus_summary(nlp.tokenize(d))
+    return doc_stats
+
+
 def q_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LDA topic assignment (topic_modeling.py:66-92 semantics, seeded)."""
     from kargo_spark.topics import topic_model
@@ -659,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_frequency": q_doc_frequency,
         "tfidf_topk": q_tfidf_topk,
         "kpminer_topk": q_kpminer_topk,
+        "yake_topk": q_yake_topk,
         "doc_stats": q_doc_stats,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
@@ -688,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_rank": q_topic_rank,
         "corpus_pagerank": q_corpus_pagerank,
         "lda_topics": q_lda_topics,
+        "corpus_summary": q_corpus_summary,
     }
 
 
@@ -738,14 +805,18 @@ def oracle_sql() -> dict[str, str]:
         f"list_transform(range(1, greatest(len({toks}) - 2, 1) + 1), "
         f"i -> array_to_string(({toks})[i:i+2], ' '))"
     )
+    # textstats._tokens keeps apostrophes ([^a-z0-9']+) — the lang_quality
+    # oracle must tokenize identically or mean_word_len/stopword_ratio
+    # diverge on apostrophe-bearing text (ADVICE r01, low #2).
+    toks_ap = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
     lang_case_scores = []
     from kargo_spark.textstats import _LANG_MARKERS  # marker lists shared
 
     for lang, markers in _LANG_MARKERS.items():
         inlist = ", ".join(f"'{m}'" for m in markers)
         lang_case_scores.append(
-            f"len(list_filter({toks}, x -> x IN ({inlist})))"
-            f" / greatest(len({toks}), 1)::DOUBLE AS s_{lang}"
+            f"len(list_filter({toks_ap}, x -> x IN ({inlist})))"
+            f" / greatest(len({toks_ap}), 1)::DOUBLE AS s_{lang}"
         )
     lang_scores_sql = ",\n               ".join(lang_case_scores)
     stop_in = ", ".join(
@@ -810,6 +881,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, word, round(score, 4) AS score, rank FROM ranked WHERE rank <= 5
         """,
+        "yake_topk": f"""
+            WITH wp AS (
+                SELECT doc_id, unnest({toks}) AS word,
+                       unnest(range(0, len({toks}))) AS i
+                FROM documents
+            ),
+            wp2 AS (SELECT doc_id, word, i, i // 10 AS sid FROM wp),
+            wstats AS (
+                SELECT doc_id, word, count(*) AS tf_w, median(i) AS med,
+                       count(DISTINCT sid) AS nsw
+                FROM wp2 GROUP BY doc_id, word
+            ),
+            dstats AS (
+                SELECT doc_id, avg(tf_w) AS mean_f,
+                       coalesce(stddev_pop(tf_w), 0.0) AS std_f0,
+                       max(tf_w) AS max_f
+                FROM wstats GROUP BY doc_id
+            ),
+            nsents AS (
+                SELECT doc_id, greatest(max(sid), 1) AS n_sents
+                FROM wp2 GROUP BY doc_id
+            ),
+            ws AS (
+                SELECT w.doc_id, w.word, w.tf_w,
+                       round(ln(ln(3.0 + w.med)) / greatest(1e-9,
+                             (w.tf_w / (d.mean_f + CASE WHEN d.std_f0 = 0 THEN 1.0 ELSE d.std_f0 END))
+                             / d.max_f * (1 + w.nsw / n.n_sents::DOUBLE)), 8) AS wscore
+                FROM wstats w JOIN dstats d USING (doc_id) JOIN nsents n USING (doc_id)
+                WHERE length(w.word) >= 3
+            ),
+            scored AS (
+                SELECT doc_id, word,
+                       round(-(wscore / (tf_w * (1 + wscore))), 6) AS score
+                FROM ws
+            ),
+            ranked AS (
+                SELECT doc_id, word, score,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rank
+                FROM scored
+            )
+            SELECT doc_id, word, score, rank FROM ranked WHERE rank <= 5
+        """,
         "doc_stats": f"""
             SELECT doc_id,
                    len({toks})::BIGINT AS n_words,
@@ -834,7 +947,7 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
                 FROM gaps
             )
-            SELECT user_id, max(session_id) + 1 AS n_sessions, count(*) AS n_events
+            SELECT user_id, (max(session_id) + 1)::BIGINT AS n_sessions, count(*) AS n_events
             FROM sess GROUP BY user_id
         """,
         "anti_join": """
@@ -908,10 +1021,10 @@ def oracle_sql() -> dict[str, str]:
             WITH scores AS (
                 SELECT doc_id, text,
                        {lang_scores_sql},
-                       list_sum(list_transform({toks}, t -> length(t)))
-                           / greatest(len({toks}), 1)::DOUBLE AS mwl,
-                       len(list_filter({toks}, x -> x IN ({stop_in})))
-                           / greatest(len({toks}), 1)::DOUBLE AS swr,
+                       list_sum(list_transform({toks_ap}, t -> length(t)))
+                           / greatest(len({toks_ap}), 1)::DOUBLE AS mwl,
+                       len(list_filter({toks_ap}, x -> x IN ({stop_in})))
+                           / greatest(len({toks_ap}), 1)::DOUBLE AS swr,
                        length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                            / greatest(length(text), 1)::DOUBLE AS ar
                 FROM documents
@@ -941,6 +1054,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(array_to_string(list_sort(list_distinct({grams3})), ',')) AS fp
             FROM documents
+        """,
+        # minhash_neardup: banding derived from tau gives ~full recall and
+        # exact-Jaccard verify gives full precision, so the LSH output must
+        # equal the exact inverted-index join at the same threshold.
+        "minhash_neardup": f"""
+            WITH sh AS (
+                SELECT doc_id AS id, unnest(list_distinct({grams3})) AS s FROM documents
+            ), sizes AS (
+                SELECT id, count(*) AS sz FROM sh GROUP BY id
+            ), inter AS (
+                SELECT a.id AS ia, b.id AS ib, count(*) AS inter
+                FROM sh a JOIN sh b USING (s) WHERE a.id < b.id GROUP BY a.id, b.id
+            )
+            SELECT ia AS a, ib AS b,
+                   round(inter / (sza.sz + szb.sz - inter)::DOUBLE, 6) AS jaccard
+            FROM inter
+            JOIN sizes sza ON sza.id = ia
+            JOIN sizes szb ON szb.id = ib
+            WHERE inter / (sza.sz + szb.sz - inter)::DOUBLE >= 0.2
         """,
         "ngram_jaccard_pairs": f"""
             WITH sh AS (

@@ -127,3 +127,54 @@ def docs_clean(df: DataFrame) -> DataFrame:
     # re-derive after unicodify so the invariant matches the stored content
     out = with_content_sha(out)
     return out
+
+
+def corpus_summary(tokens: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Corpus summary rollups — Corpus.get_summary parity (reference
+    corpus.py:603-669), over the annotated token table (pos/ner/lemma).
+
+    Returns (doc_stats, ner_type_counts, vocab_stats):
+      doc_stats:       per doc — #sents, #sents containing a named entity,
+                       #toks, #nouns, #verbs, #adjs, #ner tokens,
+                       unique lemmas (reference 657-666).
+      ner_type_counts: per (doc, NER type) token counts (reference 667-668
+                       ``#ne_{type}`` columns, kept long-form).
+      vocab_stats:     corpus-level per-lemma counters: total + noun/verb/
+                       adj occurrences (reference vocab_stats 605-616).
+
+    All three are plain groupBy aggregations — partial-agg map-side, one
+    shuffle each on their grouping key; no UDF, no collect.
+    """
+    is_noun = F.col("pos").isin("NOUN", "PROPN")
+    is_verb = F.col("pos").isin("VERB", "AUX")
+    is_adj = F.col("pos") == "ADJ"
+    has_ne = F.col("ner") != "O"
+    sent = tokens.groupBy("doc_id", "sentence_id").agg(
+        F.max(has_ne.cast("int")).alias("has_ne")
+    )
+    sents = sent.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sents"),
+        F.sum("has_ne").alias("n_sents_w_ne"),
+    )
+    doc = tokens.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum(is_noun.cast("int")).alias("n_nouns"),
+        F.sum(is_verb.cast("int")).alias("n_verbs"),
+        F.sum(is_adj.cast("int")).alias("n_adjs"),
+        F.sum(has_ne.cast("int")).alias("n_ner"),
+        F.countDistinct("lemma").alias("unique_lemma"),
+    )
+    doc_stats = doc.join(sents, "doc_id")
+    ner_type_counts = (
+        tokens.filter(has_ne)
+        .select("doc_id", F.split("ner", "-")[1].alias("ner_type"))
+        .groupBy("doc_id", "ner_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab_stats = tokens.groupBy("lemma").agg(
+        F.count(F.lit(1)).alias("vocabs"),
+        F.sum(is_noun.cast("int")).alias("nouns"),
+        F.sum(is_verb.cast("int")).alias("verbs"),
+        F.sum(is_adj.cast("int")).alias("adjs"),
+    )
+    return doc_stats, ner_type_counts, vocab_stats

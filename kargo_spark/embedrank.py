@@ -20,27 +20,46 @@ from pyspark.sql import functions as F
 
 from .embedding import DEFAULT_DIM, embed_texts_np
 
-EMBEDRANK_SCHEMA = "doc_id string, ngram string, term string, score double"
+EMBEDRANK_SCHEMA = "doc_id string, ngram string, term string, score double, aliases string"
+
+_EMPTY = pd.DataFrame(columns=["doc_id", "ngram", "term", "score", "aliases"])
 
 
-def _mmr_doc(pdf: pd.DataFrame, n: int, beta: float, dim: int, seed: int) -> pd.DataFrame:
+def _mmr_doc(
+    pdf: pd.DataFrame, n: int, beta: float, dim: int, seed: int, alias_threshold: float
+) -> pd.DataFrame:
     doc_id = pdf["doc_id"].iloc[0]
     doc_text = pdf["content"].iloc[0]
     cands = pdf[["ngram", "term"]].drop_duplicates("ngram").reset_index(drop=True)
     if not len(cands):
-        return pd.DataFrame(columns=["doc_id", "ngram", "term", "score"])
+        return _EMPTY
     C = embed_texts_np(cands["term"], dim, seed)
     d = embed_texts_np(pd.Series([doc_text]), dim, seed)[0]
     # zero-embedding mask (terms.py:208-209)
     nz = np.abs(C).sum(axis=1) > 0
     cands, C = cands[nz].reset_index(drop=True), C[nz]
     if not len(cands):
-        return pd.DataFrame(columns=["doc_id", "ngram", "term", "score"])
+        return _EMPTY
     doc_sim = C @ d
     cand_sim = C @ C.T
-    n = min(n, len(cands))
+    # alias collapse (terms.py:217,228-232 alias_threshold=0.7): candidates
+    # whose pairwise cosine >= threshold are near-duplicate surfaces of one
+    # phrase; greedily (by doc relevance, deterministic term tiebreak)
+    # assign them to a representative so they cannot occupy several MMR
+    # selection slots, and report them as that representative's aliases
+    order = sorted(range(len(cands)), key=lambda i: (-doc_sim[i], cands["term"][i]))
+    reps: list[int] = []
+    aliases: dict[int, list[str]] = {}
+    for i in order:
+        owner = next((r for r in reps if cand_sim[i, r] >= alias_threshold), None)
+        if owner is None:
+            reps.append(i)
+            aliases[i] = []
+        else:
+            aliases[owner].append(cands["term"][i])
+    n = min(n, len(reps))
     selected: list[int] = []
-    rest = list(range(len(cands)))
+    rest = list(reps)
     out = []
     for rank in range(n):
         if selected:
@@ -52,10 +71,13 @@ def _mmr_doc(pdf: pd.DataFrame, n: int, beta: float, dim: int, seed: int) -> pd.
         idx = rest.pop(best)
         selected.append(idx)
         # monotone-decreasing score encodes MMR rank order
-        out.append((doc_id, cands["ngram"][idx], cands["term"][idx], float(n - rank)))
+        out.append(
+            (doc_id, cands["ngram"][idx], cands["term"][idx], float(n - rank),
+             "|".join(sorted(aliases[idx])))
+        )
         if not rest:
             break
-    return pd.DataFrame(out, columns=["doc_id", "ngram", "term", "score"])
+    return pd.DataFrame(out, columns=["doc_id", "ngram", "term", "score", "aliases"])
 
 
 def embedrank_scores(
@@ -65,14 +87,17 @@ def embedrank_scores(
     beta: float = 0.55,
     dim: int = DEFAULT_DIM,
     seed: int = 42,
+    alias_threshold: float = 0.7,
 ) -> DataFrame:
-    """docs(doc_id, content) x candidates -> MMR-ranked terms per doc."""
+    """docs(doc_id, content) x candidates -> MMR-ranked terms per doc,
+    near-duplicate candidates (cosine >= alias_threshold) collapsed into
+    the selected term's '|'-joined ``aliases`` column."""
     cand_part = cands.select(
         "doc_id", F.col("lemma_term").alias("ngram"), "term"
     ).dropDuplicates(["doc_id", "ngram"])
     joined = cand_part.join(docs.select("doc_id", "content"), "doc_id")
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _mmr_doc(pdf, n, beta, dim, seed)
+        return _mmr_doc(pdf, n, beta, dim, seed, alias_threshold)
 
     return joined.groupBy("doc_id").applyInPandas(fn, EMBEDRANK_SCHEMA)

@@ -91,8 +91,9 @@ def link_mentions(
         "link_sim", F.lit(1.0)
     ).withColumn("link_kind", F.lit("exact"))
     miss = exact.filter(F.col("entity_id").isNull()).drop("entity_id")
-    if miss.isEmpty():
-        return hit.drop("__norm")
+    # no isEmpty() probe here: that is an extra Spark job on every call;
+    # when miss is empty the embedding path below is a cheap no-op branch
+    # of the same plan (r01 minor #7)
     # embedding path, LSH-blocked
     ent_v = entities.select(
         "entity_id", F.col("norm").alias("__enorm")

@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 
 TOKENS_SCHEMA = (
     "doc_id string, sentence_id int, token_id int, word string, lemma string, "
-    "pos string, offset_begin long, offset_end long"
+    "pos string, offset_begin long, offset_end long, "
+    "ner string, deprel string, deprel_head_id int"
 )
 
 _SENT_BREAK = re.compile(r"(?<=[.!?])\s+|\n+")
@@ -86,14 +87,142 @@ def _lemma(word: str, pos: str) -> str:
     return lw
 
 
+# --- heuristic NER (stand-in for stanza NER, reference corpus.py:227-232;
+# BIO tags with the types get_summary rolls up, corpus.py:603-620:
+# ORG / PERSON / GPE / DATE / CARDINAL / FAC) -------------------------------
+
+_MONTHS = {
+    "january", "february", "march", "april", "may", "june", "july",
+    "august", "september", "october", "november", "december",
+    "monday", "tuesday", "wednesday", "thursday", "friday", "saturday",
+    "sunday",
+}
+_ORG_SUFFIX = {
+    "inc", "corp", "ltd", "llc", "plc", "group", "gmbh", "co", "company",
+    "airlines", "airways", "cargo", "logistics", "express", "aviation",
+    "freight", "airline", "forwarding", "shipping",
+}
+_FAC_SUFFIX = {
+    "airport", "terminal", "station", "port", "hub", "tower", "bridge",
+    "gateway", "facility", "warehouse",
+}
+_GPE = {
+    "usa", "china", "germany", "france", "uk", "india", "japan", "canada",
+    "brazil", "australia", "singapore", "netherlands", "belgium", "qatar",
+    "london", "paris", "frankfurt", "dubai", "amsterdam", "chicago",
+    "atlanta", "shanghai", "tokyo", "miami", "memphis", "luxembourg",
+    "liege", "anchorage", "europe", "asia", "america", "africa",
+}
+_PERSON_TITLE = {"mr", "mrs", "ms", "dr", "sir", "madam", "prof"}
+_YEAR = re.compile(r"(19|20)\d\d")
+# abbreviations whose trailing period must not end a sentence
+_ABBREV = _PERSON_TITLE | {"inc", "ltd", "corp", "co", "st", "vs", "no"}
+
+
+def _ner_sentence(words: list[str], tags: list[str]) -> list[str]:
+    """BIO NER over one sentence: gazetteer/shape rules on top of the POS
+    pass. PROPN runs classify by their trailing word (ORG/FAC suffix, GPE
+    gazetteer, PERSON after a title); NUM splits into DATE years vs
+    CARDINAL; month/day names are DATE."""
+    n = len(words)
+    ner = ["O"] * n
+
+    def propn_like(k: int) -> bool:
+        # the POS pass can't call a sentence-initial capital PROPN (any
+        # sentence starts uppercase); for NER, a sentence-initial capital
+        # followed by a PROPN starts the run ("Lufthansa Cargo ...")
+        if tags[k] == "PROPN":
+            return True
+        return (
+            k == 0 and tags[k] == "NOUN" and words[k][:1].isupper()
+            and k + 1 < n and tags[k + 1] == "PROPN"
+        )
+
+    i = 0
+    while i < n:
+        w, t = words[i], tags[i]
+        lw = w.lower()
+        if propn_like(i):
+            j = i
+            while j + 1 < n and tags[j + 1] == "PROPN":
+                j += 1
+            run_low = [x.lower() for x in words[i : j + 1]]
+            # look back past punctuation for a person title
+            p = i - 1
+            while p >= 0 and not words[p][:1].isalnum():
+                p -= 1
+            if p >= 0 and words[p].lower().rstrip(".") in _PERSON_TITLE:
+                typ = "PERSON"
+            elif run_low[-1] in _FAC_SUFFIX or (
+                j + 1 < n and words[j + 1].lower() in _FAC_SUFFIX
+            ):
+                typ = "FAC"
+            elif run_low[-1] in _ORG_SUFFIX:
+                typ = "ORG"
+            elif len(run_low) == 1 and run_low[0] in _GPE:
+                typ = "GPE"
+            else:
+                typ = "ORG"  # domain prior: unresolved PROPN runs are firms
+            ner[i] = f"B-{typ}"
+            for k in range(i + 1, j + 1):
+                ner[k] = f"I-{typ}"
+            i = j + 1
+            continue
+        if lw in _MONTHS:
+            ner[i] = "B-DATE"
+            # month followed by a day/year number -> one DATE span
+            if i + 1 < n and tags[i + 1] == "NUM":
+                ner[i + 1] = "I-DATE"
+                i += 2
+                continue
+        elif t == "NUM":
+            ner[i] = "B-DATE" if _YEAR.fullmatch(w) else "B-CARDINAL"
+        i += 1
+    return ner
+
+
+def _deprel_sentence(tags: list[str]) -> list[tuple[str, int]]:
+    """Shallow dependency stand-in (stanza depparse is unavailable): first
+    VERB is the root; NOUN/PROPN attach nsubj (before root) / obj (after);
+    DET/ADJ/NUM attach to the next nominal; ADP attaches case-forward;
+    everything else attaches dep->root. head ids are 1-based token ids,
+    0 = root (CoNLL convention)."""
+    n = len(tags)
+    root = next((i for i, t in enumerate(tags) if t in ("VERB", "AUX")), -1)
+    next_nom = [0] * n
+    nxt = 0
+    for i in range(n - 1, -1, -1):
+        next_nom[i] = nxt
+        if tags[i] in ("NOUN", "PROPN"):
+            nxt = i + 1
+    out = []
+    for i, t in enumerate(tags):
+        if i == root:
+            out.append(("root", 0))
+        elif t in ("NOUN", "PROPN"):
+            if root == -1:
+                out.append(("root", 0) if i == 0 else ("dep", 1))
+            else:
+                out.append(("nsubj" if i < root else "obj", root + 1))
+        elif t in ("DET", "ADJ", "NUM") and next_nom[i]:
+            out.append(("det" if t == "DET" else "amod" if t == "ADJ" else "nummod", next_nom[i]))
+        elif t == "ADP" and next_nom[i]:
+            out.append(("case", next_nom[i]))
+        else:
+            out.append(("dep", root + 1 if root >= 0 else 1))
+    return out
+
+
 def _annotate_doc(doc_id: str, content: str) -> list[tuple]:
     """Single linear pass: tokenize the whole document once; a sentence
     break occurs at a token boundary when the inter-token gap contains a
     newline, or contains whitespace and the previous token ends in [.!?]
     (equivalent to splitting on ``(?<=[.!?])\\s+|\\n+`` then tokenizing
     each segment, reference corpus.py:513 nltk-sentence-split semantics,
-    but without the O(segments x find) rescans)."""
-    rows = []
+    but without the O(segments x find) rescans). Sentences buffer so the
+    NER/deprel passes (context-dependent) run once per sentence; POS/lemma
+    stay memoized per word type."""
+    rows: list[tuple] = []
     sent_id = 1
     tok_id = 0
     prev_end = 0
@@ -101,33 +230,56 @@ def _annotate_doc(doc_id: str, content: str) -> list[tuple]:
     # vocabulary is tiny relative to token count: memoize (word, sent_start)
     # -> (pos, lemma) so tagging cost is per-type, not per-token
     memo: dict[tuple[str, bool], tuple[str, str]] = {}
+    buf: list[tuple] = []  # (tok_id, word, lemma, pos, begin, end)
+
+    def flush(sid: int):
+        if not buf:
+            return
+        words = [b[1] for b in buf]
+        tags = [b[3] for b in buf]
+        ner = _ner_sentence(words, tags)
+        dep = _deprel_sentence(tags)
+        for (tid, word, lemma, pos, ob, oe), ne, (rel, head) in zip(buf, ner, dep):
+            rows.append((doc_id, sid, tid, word, lemma, pos, ob, oe, ne, rel, head))
+        buf.clear()
+
+    last_word = ""  # last alphanumeric token (for the abbreviation guard)
     for m in _TOKEN.finditer(content):
         # gaps are pure whitespace (the token regex consumes every
         # non-whitespace char), so: break on newline, or on any whitespace
-        # following sentence-final punctuation
+        # following sentence-final punctuation — unless that punctuation
+        # closes a known abbreviation ("Mr.", "Ltd.")
         gap = content[prev_end:m.start()]
         if tok_id > 0 and gap and ("\n" in gap or prev_last_char in ".!?"):
-            sent_id += 1
-            tok_id = 0
+            abbrev = (
+                "\n" not in gap
+                and prev_last_char == "."
+                and last_word.lower() in _ABBREV
+            )
+            if not abbrev:
+                flush(sent_id)
+                sent_id += 1
+                tok_id = 0
         tok_id += 1
         word = m.group(0)
+        if word[:1].isalnum():
+            last_word = word
         key = (word, tok_id == 1)
         hit = memo.get(key)
         if hit is None:
             pos = _tag_word(word, tok_id == 1)
             hit = (pos, _lemma(word, pos))
             memo[key] = hit
-        rows.append(
-            (doc_id, sent_id, tok_id, word, hit[1], hit[0], m.start(), m.end())
-        )
+        buf.append((tok_id, word, hit[1], hit[0], m.start(), m.end()))
         prev_end = m.end()
         prev_last_char = word[-1]
+    flush(sent_id)
     return rows
 
 
 def _annotate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     cols = ["doc_id", "sentence_id", "token_id", "word", "lemma", "pos",
-            "offset_begin", "offset_end"]
+            "offset_begin", "offset_end", "ner", "deprel", "deprel_head_id"]
     for pdf in batches:
         out: list[tuple] = []
         for doc_id, content in zip(pdf["doc_id"].values, pdf["content"].values):
@@ -135,7 +287,8 @@ def _annotate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 out.extend(_annotate_doc(doc_id, content))
         yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
             {c: pd.Series(dtype=t) for c, t in zip(
-                cols, [object, np.int32, np.int32, object, object, object, np.int64, np.int64])}
+                cols, [object, np.int32, np.int32, object, object, object,
+                       np.int64, np.int64, object, object, np.int32])}
         )
 
 

@@ -30,13 +30,12 @@ def rank_scores(ranker: str, tokens: DataFrame, cands: DataFrame,
                 df_tab: DataFrame, n_docs: int) -> DataFrame:
     from . import graph_rank
 
-    prepared = cands.withColumn("ngram", F.col("lemma_term"))
     if ranker == "tfidf":
         return weighting.tfidf_scores(cands, df_tab, n_docs)
     if ranker == "kpminer":
         return weighting.kpminer_scores(cands, df_tab, n_docs, lasf=2, cutoff=10_000)
     if ranker == "yake":
-        return weighting.yake_scores(prepared)
+        return weighting.yake_scores(tokens, cands)
     if ranker == "singlerank":
         return graph_rank.single_rank(tokens, cands)
     if ranker == "positionrank":
@@ -53,10 +52,21 @@ def run_pipeline(
     cluster_relations: bool = True,
     eps: float = 0.35,
     min_samples: int = 3,
-    scalable_clustering: bool = False,
+    scalable_clustering: bool | None = None,
+    linking: bool = True,
+    exact_cluster_max: int = 20_000,
     resume: bool = True,
 ) -> dict[str, DataFrame]:
-    """Run the full DAG; returns every stage table by name."""
+    """Run the full DAG; returns every stage table by name.
+
+    ``scalable_clustering=None`` (default) auto-switches: exact DBSCAN is a
+    single-task O(n²) parity oracle, safe only for small pair-vector
+    counts, so it is used only when the vectors stage has at most
+    ``exact_cluster_max`` rows; anything larger takes the LSH-blocked
+    scalable path (r01 defect: exact was the unconditional default).
+    ``linking=False`` skips the entities/links stages entirely — callers
+    that only want triples must not pay for eager stage materialization.
+    """
     ck = CheckpointRunner(spark, workdir, resume=resume)
 
     docs_clean = ck.run_stage("docs_clean", lambda: corpus.docs_clean(documents))
@@ -94,6 +104,10 @@ def run_pipeline(
             )
             return ctx.withColumn("vec", embed(F.col("context")))
         vectors = ck.run_stage("pair_vectors", make_vectors)
+        if scalable_clustering is None:
+            # vectors is persisted/checkpointed by run_stage: this count is
+            # a cheap cached-scan job, not a recompute
+            scalable_clustering = vectors.count() > exact_cluster_max
         cluster_fn = dbscan_scalable if scalable_clustering else dbscan_exact
         clusters = ck.run_stage(
             "clusters",
@@ -109,14 +123,16 @@ def run_pipeline(
     else:
         triples = ck.run_stage("triples", lambda: relations.triples_from_pairs(prs))
 
-    entities = ck.run_stage("entities", lambda: canonical_entities(ments))
-    links = ck.run_stage(
-        "links",
-        lambda: link_mentions(
-            ments.select("doc_id", "term").dropDuplicates(), entities
-        ),
-    )
-    return {
+    entities = links = None
+    if linking:
+        entities = ck.run_stage("entities", lambda: canonical_entities(ments))
+        links = ck.run_stage(
+            "links",
+            lambda: link_mentions(
+                ments.select("doc_id", "term").dropDuplicates(), entities
+            ),
+        )
+    out = {
         "docs_clean": docs_clean,
         "tokens": tokens,
         "candidates": cands,
@@ -126,10 +142,12 @@ def run_pipeline(
         "mentions": ments,
         "pairs": prs,
         "triples": triples,
-        "entities": entities,
-        "links": links,
         "metrics": spark.createDataFrame(
             [(m["stage"], m["rows"], m["seconds"], m["resumed"]) for m in ck.metrics()],
             "stage string, rows long, seconds double, resumed boolean",
         ),
     }
+    if linking:
+        out["entities"] = entities
+        out["links"] = links
+    return out

@@ -1,8 +1,11 @@
 """Open relation extraction: ``terms_topk -> mentions -> pairs -> triples``.
 
-The reference's relation module was lost (kargo/relations.py is empty);
-semantics are reconstructed from its emitted artifacts (SURVEY.md §1 D6,
-§2.3): per sentence, adjacent ranked-term mentions pair into
+The reference's relation module (kargo/relations.py) is stored as a single
+newline-free line; round 1 misread it as empty and reconstructed semantics
+from artifacts. Round 2 recovered the actual code: see ``reference_pairs``
+below for the exact RelationExtractor.get_terms_occurrence parity path.
+The engine-native path keeps the reconstructed shape: per sentence,
+adjacent ranked-term mentions pair into
 (head, in_between_words, tail) with a per-sentence ``cooc_no`` ordinal
 (meta.cooc_no in data/annotations/relations/dev_20200612.jsonl), and the
 final triple store is deduplicated (subj, pred, obj) with provenance.
@@ -84,14 +87,19 @@ def pairs(mention_df: DataFrame, sentences: DataFrame | None = None) -> DataFram
     return p
 
 
-def relation_json_rows(labeled_pairs: DataFrame) -> DataFrame:
+def relation_json_rows(labeled_pairs: DataFrame, max_members: int = 64) -> DataFrame:
     """Cluster-file sink shape (reference artifact
     results/extracted_relations/relation_jsons/*.json — D6 in SURVEY §1):
     one JSON object per cluster id with its member records
     {text, head_words, tail_words, in_between_words}; noise cluster -1
-    included. Emitted as (cluster string, members_json string) rows; a
-    driver-side collect of the tiny per-cluster strings reassembles the
-    reference's single-file form."""
+    included. Emitted as (cluster string, n_members, members_json) rows.
+
+    ``n_members`` is the TRUE cluster size, but ``members_json`` keeps at
+    most ``max_members`` members (deterministic window top-n BEFORE the
+    groupBy, so neither the shuffle nor the agg buffer ever holds an
+    unbounded cluster — the reference's own noise cluster -1 had 6,763
+    members; unbounded collect_list is one reducer OOM at scale;
+    r01 defect — VERDICT What's-wrong #6)."""
     member = F.to_json(
         F.struct(
             F.coalesce(F.col("context"), F.lit("")).alias("text"),
@@ -100,16 +108,22 @@ def relation_json_rows(labeled_pairs: DataFrame) -> DataFrame:
             F.coalesce(F.col("in_between_words"), F.lit("")).alias("in_between_words"),
         )
     )
-    return (
-        labeled_pairs.withColumn("member", member)
-        .groupBy(F.col("cluster").cast("string").alias("cluster"))
+    with_member = labeled_pairs.withColumn("member", member).withColumn(
+        "cluster", F.col("cluster").cast("string")
+    )
+    counts = with_member.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    w = Window.partitionBy("cluster").orderBy("member")
+    bounded = (
+        with_member.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_members)
+        .groupBy("cluster")
         .agg(
-            F.count(F.lit(1)).alias("n_members"),
             F.concat(
-                F.lit("["), F.array_join(F.collect_list("member"), ","), F.lit("]")
+                F.lit("["), F.array_join(F.sort_array(F.collect_list("member")), ","), F.lit("]")
             ).alias("members_json"),
         )
     )
+    return counts.join(bounded, "cluster").select("cluster", "n_members", "members_json")
 
 
 def labels_map_rows(pair_df: DataFrame, gold: DataFrame | None = None) -> DataFrame:
@@ -153,4 +167,163 @@ def triples_from_pairs(pair_df: DataFrame, pred_col: str | None = None) -> DataF
             F.count(F.lit(1)).alias("support"),
             F.slice(F.sort_array(F.collect_set("prov")), 1, 16).alias("provenance"),
         )
+    )
+
+
+# --- reference-exact candidate pair extraction -----------------------------
+
+REFERENCE_PAIRS_SCHEMA = (
+    "doc_id string, sent_id int, cooc_no int, head string, tail string"
+)
+
+
+def _doc_reference_pairs(
+    pdf, window_size: int, closest_term_only: bool, include_ne: bool,
+    exclude_ne: tuple,
+):
+    """Exact reimplementation of RelationExtractor.get_terms_occurrence +
+    get_all_cooccurrences (reference kargo/relations.py — single-line file;
+    recovered round 2) for ONE document:
+
+    * term spans: FIRST case-sensitive word-sequence match per term against
+      the lowercased sentence, scanning ``range(n_words - n_term_words)``
+      — the reference's own off-by-one excludes a term ending exactly at
+      the sentence end and is kept for parity (is_term_exist).
+    * named entities: BIOES runs, types not in exclude_ne
+      (get_named_entities; annotation runs used exclude PERSON/DATE).
+    * overlap reduction: keep first non-overlapping span, terms before NEs
+      (reduce_duplicate_entities).
+    * pairing: spans sorted by first token; tail = next span only when
+      closest_term_only; token-id gap <= window_size; cooc_no = 0-based
+      ordinal within the sentence (get_relations_to_anno meta).
+    Surfaces come from the reconstructed sentence text (offset-preserving,
+    SentenceParser.__str__) lowercased — matching the annotation artifacts.
+    """
+    import pandas as pd
+
+    doc_id = pdf["doc_id"].iloc[0]
+    toks = pdf[pdf["term"].isna()]
+    term_rows = pdf[pdf["term"].notna()].sort_values("rank")
+    term_words = [str(t).split() for t in term_rows["term"].values]
+    out = []
+    for sid, sent in toks.groupby("sent_id"):
+        sent = sent.sort_values("token_id")
+        words = [str(w) for w in sent["word"].values]
+        lwords = [w.lower() for w in words]
+        obs = sent["offset_begin"].values
+        oes = sent["offset_end"].values
+        ners = [str(x) for x in sent["ner"].values]
+        off = int(obs[0])
+        # offset-preserving sentence reconstruction (SentenceParser.__str__)
+        buf, cur = [], 0
+        for w, b, e in zip(words, obs, oes):
+            b, e = int(b) - off, int(e) - off
+            if cur < b:
+                buf.append(" " * (b - cur))
+            buf.append(w)
+            cur = e
+        text = "".join(buf).lower()
+        # term spans: first match per term, reference off-by-one scan bound
+        spans = []
+        for tw in term_words:
+            if not tw:
+                continue
+            for i in range(len(lwords) - len(tw)):
+                if lwords[i : i + len(tw)] == tw:
+                    spans.append(list(range(i, i + len(tw))))
+                    break
+        # named entities (BIOES), excluded types skipped entirely
+        if include_ne:
+            ent: list[int] = []
+            n = len(words)
+            for k, ner in enumerate(ners):
+                if ner.split("-")[-1] in exclude_ne:
+                    continue
+                if ner[0] in ("B", "S"):
+                    ent = [k]
+                elif ner[0] in ("I", "E"):
+                    ent.append(k)
+                if ner[0] in ("E", "S") or (ner[0] in ("B", "I") and k == n - 1):
+                    if ent:
+                        spans.append(ent)
+        # overlap reduction, first-wins (empty spans guarded away)
+        uniq: list[list[int]] = []
+        for e in spans:
+            if not e:
+                continue
+            s = set(e)
+            if not any(s & set(u) for u in uniq):
+                uniq.append(e)
+        uniq.sort(key=lambda e: e[0])
+        # adjacent pairing within the token window
+        cooc_no = 0
+        for i in range(len(uniq)):
+            head_end = uniq[i][-1]
+            hi = min(i + 2, len(uniq)) if closest_term_only else len(uniq)
+            for j in range(i + 1, hi):
+                if uniq[j][0] - head_end <= window_size:
+                    h = text[int(obs[uniq[i][0]]) - off : int(oes[uniq[i][-1]]) - off]
+                    t = text[int(obs[uniq[j][0]]) - off : int(oes[uniq[j][-1]]) - off]
+                    out.append((doc_id, int(sid), cooc_no, h, t))
+                    cooc_no += 1
+    return pd.DataFrame(out, columns=["doc_id", "sent_id", "cooc_no", "head", "tail"])
+
+
+def reference_pairs(
+    tokens: DataFrame,
+    terms: DataFrame,
+    window_size: int = 10,
+    closest_term_only: bool = True,
+    include_ne: bool = True,
+    exclude_ne: tuple = ("PERSON", "DATE"),
+) -> DataFrame:
+    """KArgo-exact relation-candidate pairs over an annotated token table
+    (e.g. xml_io.read_corenlp_tokens output) + per-doc ranked terms
+    (io_formats.read_terms_csv output).
+
+    One groupBy(doc_id) shuffle ships tokens and terms together (union
+    trick); the per-doc pass is the sequential reference algorithm —
+    doc-local, so parallelism = documents, the right axis at corpus scale.
+    """
+    tok_part = tokens.select(
+        "doc_id",
+        F.col("sentence_id").alias("sent_id"),
+        "token_id", "word", "offset_begin", "offset_end", "ner",
+        F.lit(None).cast("int").alias("rank"),
+        F.lit(None).cast("string").alias("term"),
+    )
+    term_part = terms.select(
+        "doc_id",
+        F.lit(0).alias("sent_id"),
+        F.lit(0).alias("token_id"),
+        F.lit("").alias("word"),
+        F.lit(0).cast("long").alias("offset_begin"),
+        F.lit(0).cast("long").alias("offset_end"),
+        F.lit("O").alias("ner"),
+        F.col("rank").cast("int").alias("rank"),
+        "term",
+    )
+
+    def fn(pdf):
+        return _doc_reference_pairs(
+            pdf, window_size, closest_term_only, include_ne, exclude_ne
+        )
+
+    return (
+        tok_part.unionByName(term_part)
+        .groupBy("doc_id")
+        .applyInPandas(fn, REFERENCE_PAIRS_SCHEMA)
+    )
+
+
+def reference_triples(pairs: DataFrame) -> DataFrame:
+    """(head, 'related_to', tail) triple store from reference-exact pairs,
+    deduplicated with support — the north-star comparison surface."""
+    return (
+        pairs.groupBy(
+            F.col("head").alias("subj"),
+            F.lit("related_to").alias("pred"),
+            F.col("tail").alias("obj"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
     )

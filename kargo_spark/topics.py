@@ -63,14 +63,26 @@ def topic_model(
         (F.array_position(probs, F.array_max(probs)) - 1).cast("int").alias("topic_id"),
         F.array_max(probs).alias("topic_prob"),
     )
-    vocab = cv_model.vocabulary
+    # vocab lookup via broadcast join, NOT a vocabSize-wide literal array in
+    # the plan (65k-literal plans bloat codegen/serialization at scale)
+    vocab_df = docs.sparkSession.createDataFrame(
+        list(enumerate(cv_model.vocabulary)), "idx int, word string"
+    )
     topics = model.describeTopics(10)
-    topic_words = topics.select(
+    ex = topics.select(
         F.col("topic").alias("topic_id"),
-        F.transform(
-            "termIndices", lambda i: F.element_at(F.array(*[F.lit(w) for w in vocab]), i + 1)
-        ).alias("words"),
         F.col("termWeights").alias("weights"),
+        F.posexplode("termIndices").alias("pos", "idx"),
+    )
+    topic_words = (
+        ex.join(F.broadcast(vocab_df), "idx")
+        .groupBy("topic_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "word"))), lambda s: s["word"]
+            ).alias("words"),
+            F.first("weights").alias("weights"),
+        )
     )
     return doc_topics, topic_words
 

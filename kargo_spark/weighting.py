@@ -109,13 +109,23 @@ def _yake_doc(pdf: pd.DataFrame) -> pd.DataFrame:
     features — normalized frequency, position, sentence spread — composed
     into word scores; candidate score = prod(word scores) /
     (tf * (1 + sum(word scores))). Lower is better in YAKE; we negate so
-    every ranker in the engine is max-is-best."""
+    every ranker in the engine is max-is-best.
+
+    Word statistics come from the DOC TOKEN STREAM (rows with ngram null),
+    never from candidate surfaces: keying stats by whole multi-word
+    surfaces leaves every constituent word of a multi-word candidate
+    unseen at scoring time (r01 defect — ADVICE high #1). Candidate rows
+    (ngram non-null, one row per occurrence) supply tf and surfaces."""
     doc_id = pdf["doc_id"].iloc[0]
-    words = pdf["word_lower"].values
-    sents = pdf["sentence_id"].values
+    toks = pdf[pdf["ngram"].isna()].sort_values(["sentence_id", "token_id"])
+    cands = pdf[pdf["ngram"].notna()]
+    if len(toks) == 0 or len(cands) == 0:
+        return pd.DataFrame(columns=["doc_id", "ngram", "term", "score"])
+    words = toks["word_lower"].values
+    sents = toks["sentence_id"].values
     n_sents = max(1, int(sents.max()))
     stats: dict[str, list] = {}
-    for w, s, i in zip(words, sents, range(len(words))):
+    for i, (w, s) in enumerate(zip(words, sents)):
         st = stats.setdefault(w, [0, [], set()])
         st[0] += 1
         st[1].append(i)
@@ -130,23 +140,39 @@ def _yake_doc(pdf: pd.DataFrame) -> pd.DataFrame:
         t_spread = len(sset) / n_sents
         wscore[w] = t_pos / max(1e-9, (t_freq / max_f * (1 + t_spread)))
     out = []
-    cand = pdf[["ngram", "term"]].drop_duplicates("ngram")
-    cnt = pdf.groupby("ngram")["term"].count()
-    for ngram, term in zip(cand["ngram"].values, cand["term"].values):
-        ws = [wscore.get(w, 1.0) for w in term.split(" ")]
+    cnt = cands.groupby("ngram").size()
+    uniq = cands[["ngram", "term"]].drop_duplicates("ngram")
+    for ngram, term in zip(uniq["ngram"].values, uniq["term"].values):
+        ws = [wscore.get(w, 1.0) for w in str(term).lower().split(" ")]
         tf_c = int(cnt[ngram])
         s = float(np.prod(ws) / (tf_c * (1 + sum(ws))))
         out.append((doc_id, ngram, term, -s))
     return pd.DataFrame(out, columns=["doc_id", "ngram", "term", "score"])
 
 
-def yake_scores(cands: DataFrame) -> DataFrame:
-    """YAKE over candidate occurrences; doc-local -> one shuffle on doc_id."""
-    prepared = cands.select(
-        "doc_id", "sentence_id", "ngram" if "ngram" in cands.columns else F.col("lemma_term").alias("ngram"),
-        "term", F.lower(F.col("term")).alias("word_lower"),
+def yake_scores(tokens: DataFrame, cands: DataFrame) -> DataFrame:
+    """YAKE over the doc token stream + candidate occurrences; both sides
+    union on doc_id (the graph_rank._rank_input trick) so a single
+    groupBy(doc_id) shuffle ships words and candidates together."""
+    tok_part = tokens.select(
+        "doc_id", "sentence_id", "token_id",
+        F.lower(F.col("word")).alias("word_lower"),
+        F.lit(None).cast("string").alias("ngram"),
+        F.lit(None).cast("string").alias("term"),
     )
-    return prepared.groupBy("doc_id").applyInPandas(_yake_doc, YAKE_SCHEMA)
+    cand_part = cands.select(
+        "doc_id",
+        F.lit(0).alias("sentence_id"),
+        F.lit(0).alias("token_id"),
+        F.lit("").alias("word_lower"),
+        F.col("lemma_term").alias("ngram"),
+        "term",
+    )
+    return (
+        tok_part.unionByName(cand_part)
+        .groupBy("doc_id")
+        .applyInPandas(_yake_doc, YAKE_SCHEMA)
+    )
 
 
 def top_k_terms(scores: DataFrame, k: int = 15) -> DataFrame:

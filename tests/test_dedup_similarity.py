@@ -53,6 +53,55 @@ def test_simhash_hamming_zero_for_exact_dup(spark):
     assert got.get((1, 4)) == 0
 
 
+def test_derive_bands_tracks_threshold():
+    # high tau -> coarse banding (few candidates); low tau -> fine banding
+    assert dedup.derive_bands(32, 0.8) == 8       # r=4, midpoint ~0.59 <= 0.6
+    assert dedup.derive_bands(32, 0.2) == 32      # r=1, miss prob (1-J)^32
+    for tau in (0.1, 0.2, 0.5, 0.8, 0.95):
+        b = dedup.derive_bands(32, tau)
+        r = 32 // b
+        assert (1.0 / b) ** (1.0 / r) <= 0.75 * tau + 1e-12
+
+
+def test_minhash_low_threshold_equals_exact_jaccard(spark):
+    """With threshold-derived banding + exact verify, MinHash output must
+    equal the exact inverted-index n-gram Jaccard join at the same tau
+    (this equality is also the driver's DuckDB oracle for minhash_neardup)."""
+    lsh = dedup.minhash_lsh_pairs(_docs(spark), jaccard_threshold=0.2)
+    exact = dedup.ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.2)
+    got = {(r["a"], r["b"]): round(r["jaccard"], 9) for r in lsh.collect()}
+    want = {(r["a"], r["b"]): round(r["jaccard"], 9) for r in exact.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_simhash_planted_hamming5_pairs_found(spark):
+    """r01 defect regression: pairs at Hamming distance > 3 must be found
+    when the caller asks for a larger radius. Plant 64-bit values at known
+    distances, spreading flipped bits so every band of the OLD fixed
+    4x16-bit scheme differs (the old scheme provably missed these)."""
+    base = 0x0123456789ABCDEF
+    # flip 5 bits at positions 2, 17, 33, 49, 60 — one in each old 16-bit
+    # band (plus one extra), so all four old bands differ
+    ham5 = base ^ (1 << 2) ^ (1 << 17) ^ (1 << 33) ^ (1 << 49) ^ (1 << 60)
+    ham8 = base
+    for p in (1, 9, 18, 26, 34, 42, 50, 58):
+        ham8 ^= 1 << p
+    rows = [(1, base), (2, ham5), (3, ham8), (4, 0x7EDCBA9876543210)]
+    hashed = spark.createDataFrame(rows, "id long, sim long")
+    got5 = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in dedup.simhash_pairs_from_hashes(hashed, max_hamming=5).collect()
+    }
+    assert got5.get((1, 2)) == 5
+    assert (1, 3) not in got5  # distance 8 > radius 5
+    got8 = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in dedup.simhash_pairs_from_hashes(hashed, max_hamming=8).collect()
+    }
+    assert got8.get((1, 2)) == 5 and got8.get((1, 3)) == 8
+    assert (1, 4) not in got8
+
+
 def test_ngram_jaccard_exact_value(spark):
     pairs = dedup.ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.3).collect()
     got = {(r["a"], r["b"]): r["jaccard"] for r in pairs}

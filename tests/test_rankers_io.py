@@ -33,6 +33,37 @@ def test_embedrank_rank_order_and_dedup(spark, staged):
     assert len({r["ngram"] for r in rows}) == len(rows)
 
 
+def test_embedrank_alias_collapse(spark):
+    """alias_threshold (terms.py:217,228-232): near-identical candidate
+    surfaces must collapse onto one selected representative (its aliases
+    column), not occupy several MMR slots. The hashing embedder lowercases,
+    so 'Air Cargo' and 'air cargo' embed identically (cosine 1.0) — a
+    guaranteed >=0.7 pair under distinct ngram keys."""
+    docs = spark.createDataFrame(
+        [("d1", "air cargo shipping moves pharma freight through hub airports")],
+        "doc_id string, content string",
+    )
+    dup = {"Air Cargo", "air cargo"}
+    cands = spark.createDataFrame(
+        [
+            ("d1", "air cargo#cap", "Air Cargo"),
+            ("d1", "air cargo#low", "air cargo"),  # same embedding -> alias
+            ("d1", "pharma freight", "pharma freight"),
+            ("d1", "hub airport", "hub airports"),
+        ],
+        "doc_id string, lemma_term string, term string",
+    )
+    out = embedrank_scores(docs, cands, n=4).collect()
+    terms = {r["term"] for r in out}
+    # exactly one of the duplicate pair is selected, the other is its alias
+    assert len(terms & dup) == 1
+    winner = next(r for r in out if r["term"] in dup)
+    loser = (dup - {winner["term"]}).pop()
+    assert loser in winner["aliases"].split("|")
+    others = [r for r in out if r["term"] not in dup]
+    assert all(r["aliases"] == "" for r in others)
+
+
 def test_topic_rank_one_score_per_topic_rep(spark, staged):
     _, _, cands = staged
     out = topic_rank(cands)

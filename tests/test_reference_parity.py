@@ -136,3 +136,87 @@ def test_pooled_recall_on_reference_methods(spark):
     # method found anything (pool nonempty => someone holds part of it)
     mx = rec.groupBy("doc_id", "k").agg(F.max("recall").alias("mx"))
     assert mx.filter(F.col("mx") > 0).count() > 0
+
+
+# --- north-star triple gate (BASELINE.md row 1: P/R >= 0.95) ---------------
+
+DEV_SNLP = f"{REF}/data/processed/news/relevant/dev"
+DEV_TERMS = f"{REF}/data/processed/news/relevant/dev_terms.csv"
+DEV_REL_JSONL = f"{REF}/data/annotations/relations/dev_20200612.jsonl"
+
+
+def _gold_pairs():
+    """The reference's emitted candidate pairs on its dev corpus: every row
+    of dev_20200612.jsonl is one extraction (text = before__head__between__
+    tail__after, meta = doc/sent/cooc ids) — 1,305 pairs over 53 docs."""
+    rows = []
+    for line in open(DEV_REL_JSONL):
+        r = json.loads(line)
+        p = r["text"].split("__")
+        rows.append(
+            (r["meta"]["doc_id"], r["meta"]["sent_id"], r["meta"]["cooc_no"], p[1], p[3])
+        )
+    return rows
+
+
+def test_corenlp_reader_parses_dev_corpus(spark):
+    from kargo_spark.xml_io import read_corenlp_tokens
+
+    toks = read_corenlp_tokens(spark, f"{DEV_SNLP}/*.xml")
+    assert toks.select("doc_id").distinct().count() == 53
+    # 11-attribute token record (SentenceParser.valid_attrs, corpus.py:41-44)
+    for c in ("word", "lemma", "pos", "ner", "deprel", "deprel_head_id", "term_tag"):
+        assert c in toks.columns
+    # BIOES ner tags present
+    assert toks.filter(F.col("ner").startswith("S-")).count() > 0
+
+
+def test_corpus_xml_reader_counts(spark):
+    """BASELINE.md row 1: train/dev/test relevant corpora = 557/53/52 docs."""
+    from kargo_spark.xml_io import read_corpus_xml
+
+    base = f"{REF}/data/processed/news/relevant"
+    counts = {
+        s: read_corpus_xml(spark, f"{base}/{s}.xml").count()
+        for s in ("train", "dev", "test")
+    }
+    assert counts == {"train": 557, "dev": 53, "test": 52}
+    d = read_corpus_xml(spark, f"{base}/dev.xml")
+    row = d.filter(F.col("doc_id") == "44d783").collect()[0]
+    assert "AirBridgeCargo" in row["title"]
+    assert "PharmaPort 360" in row["content"]
+
+
+def test_triple_gate_pair_extraction_exact(spark):
+    """THE north-star gate: run the engine's reference-exact extraction
+    (xml_io reader -> terms CSV source -> relations.reference_pairs) on the
+    reference's own dev corpus and compare against its 1,305 emitted pairs.
+    Requires P/R >= 0.95; the implementation achieves 1.0/1.0."""
+    from kargo_spark.relations import reference_pairs
+    from kargo_spark.xml_io import read_corenlp_tokens
+
+    toks = read_corenlp_tokens(spark, f"{DEV_SNLP}/*.xml")
+    terms = read_terms_csv(spark, DEV_TERMS)
+    mine = {tuple(r) for r in reference_pairs(toks, terms).collect()}
+    gold = set(_gold_pairs())
+    tp = len(mine & gold)
+    precision = tp / len(mine)
+    recall = tp / len(gold)
+    assert len(gold) == 1305
+    assert precision >= 0.95 and recall >= 0.95
+    assert precision == 1.0 and recall == 1.0  # exact parity, not just the gate
+
+
+def test_triple_gate_triples_vs_reference(spark):
+    """Same gate at the (subj, pred, obj) level through the engine's triple
+    builder + evaluation.triple_precision_recall (BASELINE.json metric)."""
+    from kargo_spark.relations import reference_pairs, reference_triples
+    from kargo_spark.xml_io import read_corenlp_tokens
+
+    toks = read_corenlp_tokens(spark, f"{DEV_SNLP}/*.xml")
+    terms = read_terms_csv(spark, DEV_TERMS)
+    pred = reference_triples(reference_pairs(toks, terms))
+    gold_rows = [(h, "related_to", t) for _, _, _, h, t in _gold_pairs()]
+    gold = spark.createDataFrame(gold_rows, "subj string, pred string, obj string")
+    res = E.triple_precision_recall(pred, gold).collect()[0]
+    assert res["precision"] >= 0.95 and res["recall"] >= 0.95

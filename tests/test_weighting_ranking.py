@@ -60,11 +60,54 @@ def test_top_k_terms_rank_and_csv_shape(spark):
 
 
 def test_yake_produces_scores_per_doc(spark):
-    _, cands = _cands(spark)
-    prepared = cands.withColumn("ngram", F.col("lemma_term"))
-    out = weighting.yake_scores(prepared)
+    toks, cands = _cands(spark)
+    out = weighting.yake_scores(toks, cands)
     assert out.select("doc_id").distinct().count() == 3
     assert out.filter(F.col("score").isNull()).count() == 0
+
+
+def test_yake_multiword_uses_word_stats(spark):
+    """r01 defect regression: multi-word candidate scores must be computed
+    from per-WORD doc statistics (every constituent word is in the doc, so
+    no 1.0-default lookups) — exact check vs a pure-python oracle."""
+    toks, cands = _cands(spark)
+    out = weighting.yake_scores(toks, cands)
+    row = out.filter(
+        (F.col("doc_id") == "d1") & (F.col("ngram") == "cargo carrier")
+    ).collect()[0]
+
+    tok_rows = sorted(
+        toks.filter(F.col("doc_id") == "d1").collect(),
+        key=lambda r: (r["sentence_id"], r["token_id"]),
+    )
+    words = [r["word"].lower() for r in tok_rows]
+    sents = [r["sentence_id"] for r in tok_rows]
+    n_sents = max(1, max(sents))
+    stats = {}
+    for i, (w, s) in enumerate(zip(words, sents)):
+        st = stats.setdefault(w, [0, [], set()])
+        st[0] += 1
+        st[1].append(i)
+        st[2].add(s)
+    freqs = np.array([v[0] for v in stats.values()], dtype=float)
+    mean_f, std_f = freqs.mean(), freqs.std() or 1.0
+    max_f = freqs.max()
+
+    def wscore(w):
+        tf_w, positions, sset = stats[w]
+        t_pos = np.log(np.log(3 + np.median(positions)))
+        t_freq = tf_w / (mean_f + std_f)
+        t_spread = len(sset) / n_sents
+        return t_pos / max(1e-9, t_freq / max_f * (1 + t_spread))
+
+    tf_c = cands.filter(
+        (F.col("doc_id") == "d1") & (F.col("lemma_term") == "cargo carrier")
+    ).count()
+    ws = [wscore("cargo"), wscore("carrier")]
+    expected = -(ws[0] * ws[1] / (tf_c * (1 + sum(ws))))
+    assert abs(row["score"] - expected) < 1e-9
+    # both words occur in d1, so neither lookup may fall back to 1.0
+    assert all(w in stats for w in ("cargo", "carrier"))
 
 
 def test_pagerank_numpy_uniform_on_symmetric_clique():
