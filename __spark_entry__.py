@@ -222,6 +222,16 @@ def q_yake_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_terms_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms-per-doc / words-per-term stats over the tf-idf top-5 terms
+    (the reference's extracted-term summary tables, via
+    weighting.terms_stats semantics — SQL-expressible rollup)."""
+    from kargo_spark.weighting import terms_stats
+
+    topk = q_tfidf_topk(spark, sf_dir).withColumnRenamed("word", "term")
+    return terms_stats(topk)
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus summary stats per doc (get_summary corpus.py:603-669)."""
     d = _docs(spark, sf_dir)
@@ -725,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "kpminer_topk": q_kpminer_topk,
         "yake_topk": q_yake_topk,
+        "terms_stats": q_terms_stats,
         "doc_stats": q_doc_stats,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
@@ -922,6 +933,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT doc_id, word, score, rank FROM ranked WHERE rank <= 5
+        """,
+        "terms_stats": f"""
+            WITH topk AS ({tfidf})
+            SELECT doc_id, count(*) AS n_terms,
+                   round(avg(len(string_split(word, ' '))), 4) AS mean_words_per_term,
+                   round(avg(length(word)), 4) AS mean_term_chars
+            FROM topk GROUP BY doc_id
         """,
         "doc_stats": f"""
             SELECT doc_id,

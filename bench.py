@@ -24,6 +24,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 HEADLINE = [
+    "yake_topk",
     "tfidf_topk",
     "doc_frequency",
     "triples_agg",
@@ -45,6 +46,11 @@ def run_bench() -> dict:
 
     spark = get_spark(app_name="kargo_bench", master=f"local[{CPUS}]")
     queries = entrymod.queries()
+    # warm the JVM / codegen / Arrow-worker path on tiny data so the first
+    # timed query measures compute, not session startup (~5-10s per cold
+    # plan shape on this host)
+    for name in HEADLINE:
+        queries[name](spark, "/root/testdata/sf0.001").count()
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
     for name in HEADLINE:

@@ -55,14 +55,18 @@ def shingles(col, n: int = 3):
 
 
 def minhash_signature(shingle_col, num_hashes: int = 32, seed: int = 42):
-    """num_hashes minhash values: min over shingles of xxhash64(shingle, k)."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed + k)))
-            )
-            for k in range(num_hashes)
-        ]
+    """num_hashes minhash values: min over shingles of xxhash64(shingle, k).
+
+    Single-pass: ONE aggregate over the shingle array with a num_hashes-wide
+    accumulator (zip_with least) — the naive form (num_hashes separate
+    array_min/transform pairs) re-traverses the array num_hashes times and
+    bloats codegen (r01 plan-audit note)."""
+    seeds = F.array(*[F.lit(seed + k) for k in range(num_hashes)])
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+    return F.aggregate(
+        shingle_col,
+        init,
+        lambda acc, s: F.zip_with(acc, seeds, lambda a, k: F.least(a, F.xxhash64(s, k))),
     )
 
 
@@ -136,10 +140,18 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    sh_tab = base.select("id", "sh")
+    # verify payload: 64-bit shingle hashes, not strings — the candidate
+    # join shuffles |pairs| x 2 arrays, and at low tau (fine banding) the
+    # candidate set is large; longs cut that shuffle ~5x. Set Jaccard over
+    # xxhash64(shingle) equals string-set Jaccard absent 64-bit collisions
+    # within a pair (~1e-14 for 10^3-shingle docs).
+    sh_tab = base.select(
+        "id",
+        F.transform("sh", lambda s: F.xxhash64(s, F.lit(seed))).alias("shh"),
+    )
     joined = (
-        cand.join(sh_tab.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), "a")
-        .join(sh_tab.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), "b")
+        cand.join(sh_tab.withColumnRenamed("id", "a").withColumnRenamed("shh", "sha"), "a")
+        .join(sh_tab.withColumnRenamed("id", "b").withColumnRenamed("shh", "shb"), "b")
     )
     jac = F.size(F.array_intersect("sha", "shb")) / F.size(F.array_union("sha", "shb"))
     return (

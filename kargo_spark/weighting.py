@@ -188,6 +188,19 @@ def top_k_terms(scores: DataFrame, k: int = 15) -> DataFrame:
     )
 
 
+def terms_stats(topk: DataFrame, term_col: str = "term") -> DataFrame:
+    """Terms-per-doc / words-per-term rollup (the reference's extracted-term
+    summary tables; SURVEY §2.4): per doc — term count, mean words per
+    term, mean term character length. Pure Column math over the top-k
+    table; one partial-aggregated groupBy."""
+    words = F.size(F.split(F.col(term_col), " "))
+    return topk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.avg(words), 4).alias("mean_words_per_term"),
+        F.round(F.avg(F.length(term_col)), 4).alias("mean_term_chars"),
+    )
+
+
 def terms_csv_shape(topk: DataFrame) -> DataFrame:
     """Export shape: (document_id, '|'-joined rank-ordered terms).
 

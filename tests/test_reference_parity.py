@@ -220,3 +220,31 @@ def test_triple_gate_triples_vs_reference(spark):
     gold = spark.createDataFrame(gold_rows, "subj string, pred string, obj string")
     res = E.triple_precision_recall(pred, gold).collect()[0]
     assert res["precision"] >= 0.95 and res["recall"] >= 0.95
+
+
+def test_pipeline_end_to_end_on_reference_corpus(spark):
+    """Full engine pipeline over the reference's REAL dev corpus XML:
+    read_corpus_xml -> north-rule input shape -> run_pipeline -> triples.
+    Closes the 'parity suites can't start from the reference's actual
+    corpora' gap (r01 What's-missing #3)."""
+    from kargo_spark.pipeline import run_pipeline
+    from kargo_spark.xml_io import read_corpus_xml
+
+    d = read_corpus_xml(spark, f"{REF}/data/processed/news/relevant/dev.xml")
+    src = d.select(
+        F.lit("aircargo-news").alias("repo"),
+        F.concat(F.lit("news/"), "doc_id", F.lit(".xml")).alias("path"),
+        F.sha1(F.col("doc_id")).alias("commit"),
+        F.lit("en").alias("lang"),
+        F.concat_ws("\n", "title", "content").alias("content"),
+    )
+    out = run_pipeline(
+        spark, src, None, ranker="tfidf", n_terms=10,
+        cluster_relations=False, linking=False, resume=False,
+    )
+    assert out["docs_clean"].count() == 53
+    triples = out["triples"].collect()
+    assert len(triples) > 100
+    # real cargo-domain terms should surface as triple arguments
+    args = {r["subj"] for r in triples} | {r["obj"] for r in triples}
+    assert any("cargo" in a for a in args)
