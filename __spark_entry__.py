@@ -386,6 +386,16 @@ def q_triples_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-table materialization (north rule: triples -> graph tables):
+    node table with hashed ids, in/out degree, and support rollups over
+    the deduplicated triple store (kargo_spark.graph_store.graph_tables)."""
+    from kargo_spark.graph_store import graph_tables
+
+    nodes, _ = graph_tables(q_triples_agg(spark, sf_dir))
+    return nodes
+
+
 def q_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P@k (evaluation.py:44-52): preds = tf-idf top-5 words per doc, gold =
     words of length >= 8 occurring in the doc; cumulative correct / k,
@@ -745,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_window": q_topk_window,
         "cooc_pairs": q_cooc_pairs,
         "triples_agg": q_triples_agg,
+        "graph_nodes": q_graph_nodes,
         "precision_at_k": q_precision_at_k,
         "lang_quality": q_lang_quality,
         "token_counts": q_token_counts,
@@ -1011,6 +1022,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT head AS subj, 'cooccurs_with' AS pred, tail AS obj,
                    count(*) AS support, count(DISTINCT doc_id) AS n_docs
             FROM pairs GROUP BY head, tail
+        """,
+        "graph_nodes": f"""
+            WITH pairs AS ({cooc}),
+            trip AS (
+                SELECT head AS subj, 'cooccurs_with' AS pred, tail AS obj,
+                       count(*) AS support
+                FROM pairs GROUP BY head, tail
+            ),
+            outd AS (
+                SELECT lower(subj) AS surface, count(*)::BIGINT AS out_degree,
+                       sum(support)::BIGINT AS out_support
+                FROM trip GROUP BY 1
+            ),
+            ind AS (
+                SELECT lower(obj) AS surface, count(*)::BIGINT AS in_degree,
+                       sum(support)::BIGINT AS in_support
+                FROM trip GROUP BY 1
+            )
+            SELECT right(md5(surface), 12) AS node_id, surface,
+                   coalesce(out_degree, 0) AS out_degree,
+                   coalesce(in_degree, 0) AS in_degree,
+                   coalesce(out_degree, 0) + coalesce(in_degree, 0) AS degree,
+                   coalesce(out_support, 0) + coalesce(in_support, 0) AS total_support
+            FROM outd FULL OUTER JOIN ind USING (surface)
         """,
         "precision_at_k": f"""
             WITH preds AS ({tfidf}),

@@ -200,6 +200,17 @@ def dbscan_scalable(
         .dropDuplicates(["src", "dst"])
         .persist()
     )
+    return dbscan_from_edges(v.select("vec_id"), pairs, min_samples)
+
+
+def dbscan_from_edges(ids: DataFrame, pairs: DataFrame, min_samples: int) -> DataFrame:
+    """DBSCAN given a verified ε-neighbor edge list — the distance-agnostic
+    second half of the scalable path, shared by the vector (cosine) and
+    pattern (edit-ratio) cluster operators.
+
+    ids:   one column ``vec_id`` — every point (isolated points -> -1).
+    pairs: (src, dst, dist) with dist <= eps already verified, src < dst.
+    """
     sym = pairs.select("src", "dst").unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -231,7 +242,6 @@ def dbscan_scalable(
     )
     all_labeled = core_labels.unionByName(border_near)
     return (
-        v.select("vec_id")
-        .join(all_labeled, "vec_id", "left")
+        ids.join(all_labeled, "vec_id", "left")
         .select("vec_id", F.coalesce("cluster", F.lit(-1)).alias("cluster"))
     )

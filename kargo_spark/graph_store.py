@@ -1,0 +1,54 @@
+"""Graph-table materialization: the triple store as node/edge tables.
+
+The north rule materializes the deduplicated (subj, pred, obj) triples as
+graph tables (nodes + edges) for downstream graph queries. Pure Column
+ops: node ids are content hashes (deterministic across runs/partitions),
+degrees are partial-aggregated, and both tables are plain DataFrames the
+checkpoint writer persists like any stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def node_id(col):
+    """Deterministic 12-hex node id from the canonical surface."""
+    return F.substring(F.md5(F.lower(col)), -12, 12)
+
+
+def graph_tables(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(subj, pred, obj, support) -> (nodes, edges).
+
+    nodes: (node_id, surface, out_degree, in_degree, degree,
+            total_support) — one shuffle per side + one join.
+    edges: (src, pred, dst, support) with hashed endpoint ids.
+    """
+    edges = triples.select(
+        node_id(F.col("subj")).alias("src"),
+        "pred",
+        node_id(F.col("obj")).alias("dst"),
+        "support",
+    )
+    out_deg = triples.groupBy(F.lower("subj").alias("surface")).agg(
+        F.count(F.lit(1)).alias("out_degree"),
+        F.sum("support").alias("out_support"),
+    )
+    in_deg = triples.groupBy(F.lower("obj").alias("surface")).agg(
+        F.count(F.lit(1)).alias("in_degree"),
+        F.sum("support").alias("in_support"),
+    )
+    nodes = (
+        out_deg.join(in_deg, "surface", "full_outer")
+        .fillna({"out_degree": 0, "in_degree": 0, "out_support": 0, "in_support": 0})
+        .select(
+            node_id(F.col("surface")).alias("node_id"),
+            "surface",
+            "out_degree",
+            "in_degree",
+            (F.col("out_degree") + F.col("in_degree")).alias("degree"),
+            (F.col("out_support") + F.col("in_support")).alias("total_support"),
+        )
+    )
+    return nodes, edges

@@ -307,3 +307,22 @@ def merge_spans(spans: DataFrame) -> DataFrame:
         .agg(F.min("begin").alias("begin"), F.max("end").alias("end"))
         .drop("__grp")
     )
+
+
+def read_relation_labels_flat(spark, path: str) -> DataFrame:
+    """Per-split relation label files (data/annotations/relations/
+    dev_labels.json / online_labels.json — RelationExtractor.
+    convert_anno_json_to_labels output): ``{doc_id: {sent_id:
+    {"head|tail": 0/1}}}`` -> (doc_id, sent_id, pair_key, label)."""
+    raw = spark.read.text(path, wholetext=True)
+    typ = "map<string, map<string, map<string, int>>>"
+    parsed = raw.select(F.from_json("value", typ).alias("m"))
+    return (
+        parsed.select(F.explode("m").alias("doc_id", "sents"))
+        .select("doc_id", F.explode("sents").alias("sent_id_str", "pairs"))
+        .select(
+            "doc_id",
+            F.col("sent_id_str").cast("int").alias("sent_id"),
+            F.explode("pairs").alias("pair_key", "label"),
+        )
+    )

@@ -173,7 +173,8 @@ def triples_from_pairs(pair_df: DataFrame, pred_col: str | None = None) -> DataF
 # --- reference-exact candidate pair extraction -----------------------------
 
 REFERENCE_PAIRS_SCHEMA = (
-    "doc_id string, sent_id int, cooc_no int, head string, tail string"
+    "doc_id string, sent_id int, cooc_no int, head string, tail string, "
+    "in_between string"
 )
 
 
@@ -264,9 +265,12 @@ def _doc_reference_pairs(
                 if uniq[j][0] - head_end <= window_size:
                     h = text[int(obs[uniq[i][0]]) - off : int(oes[uniq[i][-1]]) - off]
                     t = text[int(obs[uniq[j][0]]) - off : int(oes[uniq[j][-1]]) - off]
-                    out.append((doc_id, int(sid), cooc_no, h, t))
+                    ib = text[int(oes[uniq[i][-1]]) - off : int(obs[uniq[j][0]]) - off]
+                    out.append((doc_id, int(sid), cooc_no, h, t, ib))
                     cooc_no += 1
-    return pd.DataFrame(out, columns=["doc_id", "sent_id", "cooc_no", "head", "tail"])
+    return pd.DataFrame(
+        out, columns=["doc_id", "sent_id", "cooc_no", "head", "tail", "in_between"]
+    )
 
 
 def reference_pairs(
@@ -327,3 +331,131 @@ def reference_triples(pairs: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("support"))
     )
+
+
+def classify_clusters(
+    cluster_meta: DataFrame,
+    ref_labels: DataFrame,
+    reweight: bool = False,
+) -> DataFrame:
+    """Weakly-supervised relation classification — the recovered reference's
+    RelationExtractor.classify (kargo/relations.py, single-line file):
+    members of each pattern cluster that appear in the labeled dev set vote
+    the CLUSTER label (YES wins ties: ``int(yes >= no)``); every unlabeled
+    member then inherits its cluster's label. ``reweight=True`` multiplies
+    NO votes by the global YES/NO ratio before voting (the reference's
+    class-imbalance correction).
+
+    cluster_meta: (doc_id, sent_id, head, tail, cluster)
+    ref_labels:   (doc_id, sent_id, pair_key, label)  — e.g.
+                  io_formats.read_relation_labels output, pair_key =
+                  lower(head|tail), label in {0, 1}
+
+    Spark shape: one equi-join to attach member labels, one tiny
+    per-cluster aggregation (num_clusters rows — broadcast back), no
+    driver-side loops. Returns cluster_meta + (cluster_label, voted) where
+    voted marks members that carried a dev label into the vote.
+    """
+    key = F.lower(F.concat_ws("|", "head", "tail"))
+    m = cluster_meta.withColumn("pair_key", key)
+    lab = ref_labels.select(
+        "doc_id",
+        F.col("sent_id").cast("int").alias("sent_id"),
+        "pair_key",
+        F.col("label").cast("int").alias("label"),
+    )
+    joined = m.join(lab, ["doc_id", "sent_id", "pair_key"], "left")
+    votes = joined.filter(F.col("label").isNotNull()).groupBy("cluster").agg(
+        F.sum(F.col("label")).alias("yes"),
+        F.sum(1 - F.col("label")).alias("no"),
+    )
+    if reweight:
+        tot = votes.agg(F.sum("yes").alias("ty"), F.sum("no").alias("tn"))
+        votes = votes.crossJoin(F.broadcast(tot)).select(
+            "cluster", "yes",
+            (F.col("no") * F.col("ty") / F.greatest(F.col("tn"), F.lit(1))).alias("no"),
+        )
+    decided = votes.select(
+        "cluster", (F.col("yes") >= F.col("no")).cast("int").alias("cluster_label")
+    )
+    return (
+        joined.join(F.broadcast(decided), "cluster", "left")
+        .withColumn("cluster_label", F.coalesce("cluster_label", F.lit(0)))
+        .withColumn("voted", F.col("label").isNotNull())
+        .drop("label")
+    )
+
+
+def pattern_edges(
+    patterns: DataFrame,
+    eps: float = 0.325,
+    id_col: str = "pair_id",
+    text_col: str = "in_between_words",
+    hot_token_df: int = 1000,
+) -> DataFrame:
+    """ε-neighbor edges between relation context patterns by edit-distance
+    ratio — the recovered reference's ClusteringRE distance
+    (dist = 1 - Levenshtein seqratio over generalized patterns; here the
+    JVM ``levenshtein`` char ratio on the pattern string — same family,
+    zero Python in the verify).
+
+    Scale shape: inverted-index blocking on shared tokens (a pair with
+    edit ratio <= 0.325 must share most of its words; a pair sharing no
+    token cannot be near) with a hot-token cutoff so stop-word blocks
+    cannot go quadratic; empty patterns block together under a sentinel
+    key. Exact levenshtein verify runs only on blocked candidates.
+    Returns (src, dst, dist), src < dst.
+    """
+    p = patterns.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("txt"),
+    )
+    toks = F.filter(F.split(F.lower(F.col("txt")), r"[^a-z0-9]+"), lambda t: t != "")
+    keyed = p.select(
+        "id", "txt",
+        F.explode(
+            F.when(F.size(toks) == 0, F.array(F.lit("::empty::"))).otherwise(
+                F.array_distinct(toks)
+            )
+        ).alias("k"),
+    )
+    hot = (
+        keyed.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") > hot_token_df) & (F.col("k") != "::empty::"))
+    )
+    keyed = keyed.join(hot, "k", "left_anti")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    dist = F.levenshtein(F.col("a.txt"), F.col("b.txt")) / F.greatest(
+        F.greatest(F.length("a.txt"), F.length("b.txt")), F.lit(1)
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"), dist.alias("dist"))
+        .filter(F.col("dist") <= eps)
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def pattern_clusters(
+    pairs_with_context: DataFrame,
+    eps: float = 0.325,
+    min_samples: int = 75,
+    id_col: str = "pair_id",
+    text_col: str = "in_between_words",
+) -> DataFrame:
+    """Relation clustering over in-between patterns — the recovered
+    reference's ClusteringRE.cluster (DBSCAN eps=0.325, min_samples=75 on
+    the pattern distance matrix; extract_relations params), re-expressed
+    as blocked edge generation + distance-agnostic distributed DBSCAN
+    (clustering.dbscan_from_edges). Returns (pair_id -> cluster), noise -1.
+    """
+    from .clustering import dbscan_from_edges
+
+    edges = pattern_edges(
+        pairs_with_context, eps=eps, id_col=id_col, text_col=text_col
+    ).persist()
+    ids = pairs_with_context.select(F.col(id_col).alias("vec_id"))
+    return dbscan_from_edges(ids, edges, min_samples).withColumnRenamed(
+        "vec_id", id_col
+    ).withColumnRenamed("cluster", "cluster")

@@ -7,11 +7,12 @@ then ``get_top_news_from_topic`` keeps docs of a chosen topic with
 prob > threshold (94-107; 0.9 default, 0.85 per README.md:23).
 
 Spark-native: pyspark.ml feature pipeline (RegexTokenizer ->
-StopWordsRemover -> CountVectorizer(minDF, maxDF) -> IDF) -> LDA(k).
-Stemming is intentionally dropped (a pandas-UDF Porter stemmer would be the
-only Python in an otherwise JVM pipeline; the topic-filter semantics do not
-depend on it). All transforms are estimator/transformer objects — the
-idiomatic Spark ML shape, fully distributed.
+StopWordsRemover -> [optional Porter stem, stemming.py] ->
+CountVectorizer(minDF, maxDF) -> IDF) -> LDA(k). Stemming defaults off
+(the one Python hop in an otherwise JVM pipeline; topic-filter semantics
+do not depend on it) — pass ``stem=True`` for reference parity. All
+transforms are estimator/transformer objects — the idiomatic Spark ML
+shape, fully distributed.
 """
 
 from __future__ import annotations
@@ -32,6 +33,7 @@ def topic_model(
     vocab_size: int = 1 << 16,
     max_iter: int = 20,
     seed: int = 1337,
+    stem: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit LDA; returns (doc_topics, topic_words).
 
@@ -50,6 +52,12 @@ def topic_model(
     lda = LDA(k=k, maxIter=max_iter, seed=seed, featuresCol="features")
 
     staged = swr.transform(tok.transform(docs))
+    if stem:
+        # Porter stemming (reference topic_modeling.py:17,25) — the one
+        # Python hop in the topics path, Arrow-batched with a per-batch memo
+        from .stemming import make_stemmer_udf
+
+        staged = staged.withColumn("__filtered", make_stemmer_udf()(F.col("__filtered")))
     cv_model = cv.fit(staged)
     tf = cv_model.transform(staged)
     idf_model = idf.fit(tf)

@@ -103,11 +103,64 @@ def kpminer_scores(
 
 YAKE_SCHEMA = "doc_id string, ngram string, term string, score double"
 
+YAKE_WINDOW = 2  # pke YAKE default co-occurrence window
+
+
+def _yake_word_scores(words_orig, words_low, sents, token_ids, window=YAKE_WINDOW):
+    """Full YAKE per-word features (Campos et al., the algorithm behind
+    pke YAKE used at reference main.py:115-121):
+
+      TCase  = max(TF_upper, TF_acronym) / (1 + ln(TF))
+      TPos   = ln(ln(3 + median(position)))
+      TFNorm = TF / (mean(TF) + std(TF))
+      TRel   = 1 + (DL + DR) * TF / maxTF   (DL/DR = distinct/total
+               co-occurring words within `window` left/right)
+      TSent  = #sentences containing w / #sentences
+
+      S(w) = TPos * TRel / (TCase + TFNorm/TRel + TSent/TRel)
+
+    Lower S = more important word (composed per candidate in _yake_doc).
+    """
+    n = len(words_low)
+    n_sents = max(1, int(max(sents)))
+    stats: dict[str, list] = {}
+    for i, (wo, wl, s, tid) in enumerate(zip(words_orig, words_low, sents, token_ids)):
+        st = stats.setdefault(wl, [0, [], set(), 0, 0, set(), 0, set(), 0])
+        # [tf, positions, sentset, tf_upper, tf_acronym,
+        #  left_distinct, left_total, right_distinct, right_total]
+        st[0] += 1
+        st[1].append(i)
+        st[2].add(int(s))
+        if wo.isupper() and len(wo) > 1:
+            st[4] += 1
+        elif wo[:1].isupper() and int(tid) > 1:
+            st[3] += 1
+        for j in range(max(0, i - window), i):
+            st[5].add(words_low[j])
+            st[6] += 1
+        for j in range(i + 1, min(n, i + 1 + window)):
+            st[7].add(words_low[j])
+            st[8] += 1
+    freqs = np.array([v[0] for v in stats.values()], dtype=float)
+    mean_f, std_f = freqs.mean(), freqs.std() or 1.0
+    max_f = freqs.max()
+    wscore = {}
+    for w, (tf, pos, sset, tfu, tfa, ldis, ltot, rdis, rtot) in stats.items():
+        t_case = max(tfu, tfa) / (1.0 + np.log(tf))
+        t_pos = np.log(np.log(3 + np.median(pos)))
+        t_fnorm = tf / (mean_f + std_f)
+        dl = len(ldis) / ltot if ltot else 0.0
+        dr = len(rdis) / rtot if rtot else 0.0
+        t_rel = 1.0 + (dl + dr) * tf / max_f
+        t_sent = len(sset) / n_sents
+        wscore[w] = (t_pos * t_rel) / (t_case + t_fnorm / t_rel + t_sent / t_rel)
+    return wscore
+
 
 def _yake_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Simplified YAKE per document (pke YAKE, main.py:115-121): per-word
-    features — normalized frequency, position, sentence spread — composed
-    into word scores; candidate score = prod(word scores) /
+    """YAKE per document (pke YAKE, main.py:115-121) with the FULL feature
+    set (_yake_word_scores: casing, position, normalized frequency, window
+    relatedness, sentence spread); candidate score = prod(word scores) /
     (tf * (1 + sum(word scores))). Lower is better in YAKE; we negate so
     every ranker in the engine is max-is-best.
 
@@ -121,24 +174,12 @@ def _yake_doc(pdf: pd.DataFrame) -> pd.DataFrame:
     cands = pdf[pdf["ngram"].notna()]
     if len(toks) == 0 or len(cands) == 0:
         return pd.DataFrame(columns=["doc_id", "ngram", "term", "score"])
-    words = toks["word_lower"].values
-    sents = toks["sentence_id"].values
-    n_sents = max(1, int(sents.max()))
-    stats: dict[str, list] = {}
-    for i, (w, s) in enumerate(zip(words, sents)):
-        st = stats.setdefault(w, [0, [], set()])
-        st[0] += 1
-        st[1].append(i)
-        st[2].add(int(s))
-    freqs = np.array([v[0] for v in stats.values()], dtype=float)
-    mean_f, std_f = freqs.mean(), freqs.std() or 1.0
-    max_f = freqs.max()
-    wscore = {}
-    for w, (tf_w, positions, sset) in stats.items():
-        t_pos = np.log(np.log(3 + np.median(positions)))
-        t_freq = tf_w / (mean_f + std_f)
-        t_spread = len(sset) / n_sents
-        wscore[w] = t_pos / max(1e-9, (t_freq / max_f * (1 + t_spread)))
+    wscore = _yake_word_scores(
+        [str(w) for w in toks["word_orig"].values],
+        [str(w) for w in toks["word_lower"].values],
+        toks["sentence_id"].values,
+        toks["token_id"].values,
+    )
     out = []
     cnt = cands.groupby("ngram").size()
     uniq = cands[["ngram", "term"]].drop_duplicates("ngram")
@@ -156,6 +197,7 @@ def yake_scores(tokens: DataFrame, cands: DataFrame) -> DataFrame:
     groupBy(doc_id) shuffle ships words and candidates together."""
     tok_part = tokens.select(
         "doc_id", "sentence_id", "token_id",
+        F.col("word").alias("word_orig"),
         F.lower(F.col("word")).alias("word_lower"),
         F.lit(None).cast("string").alias("ngram"),
         F.lit(None).cast("string").alias("term"),
@@ -164,6 +206,7 @@ def yake_scores(tokens: DataFrame, cands: DataFrame) -> DataFrame:
         "doc_id",
         F.lit(0).alias("sentence_id"),
         F.lit(0).alias("token_id"),
+        F.lit("").alias("word_orig"),
         F.lit("").alias("word_lower"),
         F.col("lemma_term").alias("ngram"),
         "term",

@@ -154,7 +154,8 @@ def _gold_pairs():
         r = json.loads(line)
         p = r["text"].split("__")
         rows.append(
-            (r["meta"]["doc_id"], r["meta"]["sent_id"], r["meta"]["cooc_no"], p[1], p[3])
+            (r["meta"]["doc_id"], r["meta"]["sent_id"], r["meta"]["cooc_no"],
+             p[1], p[3], p[2])
         )
     return rows
 
@@ -198,7 +199,7 @@ def test_triple_gate_pair_extraction_exact(spark):
     toks = read_corenlp_tokens(spark, f"{DEV_SNLP}/*.xml")
     terms = read_terms_csv(spark, DEV_TERMS)
     mine = {tuple(r) for r in reference_pairs(toks, terms).collect()}
-    gold = set(_gold_pairs())
+    gold = set(_gold_pairs())  # (doc, sent, cooc_no, head, tail, in_between)
     tp = len(mine & gold)
     precision = tp / len(mine)
     recall = tp / len(gold)
@@ -216,7 +217,7 @@ def test_triple_gate_triples_vs_reference(spark):
     toks = read_corenlp_tokens(spark, f"{DEV_SNLP}/*.xml")
     terms = read_terms_csv(spark, DEV_TERMS)
     pred = reference_triples(reference_pairs(toks, terms))
-    gold_rows = [(h, "related_to", t) for _, _, _, h, t in _gold_pairs()]
+    gold_rows = [(h, "related_to", t) for _, _, _, h, t, _ib in _gold_pairs()]
     gold = spark.createDataFrame(gold_rows, "subj string, pred string, obj string")
     res = E.triple_precision_recall(pred, gold).collect()[0]
     assert res["precision"] >= 0.95 and res["recall"] >= 0.95

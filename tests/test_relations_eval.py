@@ -145,3 +145,129 @@ def test_triple_pr_gate(spark):
     gold = spark.createDataFrame([("a", "r", "b"), ("c", "r", "d")], "subj string, pred string, obj string")
     row = E.triple_precision_recall(pred, gold).collect()[0]
     assert row["precision"] == 1.0 and row["recall"] == 1.0 and row["f1"] == 1.0
+
+
+def test_classify_clusters_majority_vote(spark):
+    """Recovered reference RelationExtractor.classify semantics: labeled
+    members vote their cluster's label (YES wins ties), unlabeled members
+    inherit it; clusters with no labeled member default to 0."""
+    from kargo_spark.relations import classify_clusters
+
+    meta = spark.createDataFrame(
+        [
+            # cluster 0: 2 YES vs 1 NO -> 1
+            ("d1", 0, "air cargo", "pharma", 0),
+            ("d1", 1, "hub", "carrier", 0),
+            ("d2", 0, "freight", "charter", 0),
+            ("d2", 1, "x", "y", 0),          # unlabeled, inherits 1
+            # cluster 1: 1 YES vs 1 NO -> tie -> YES (int(yes >= no))
+            ("d3", 0, "a", "b", 1),
+            ("d3", 1, "c", "d", 1),
+            # cluster -1: no labeled member -> 0
+            ("d4", 0, "p", "q", -1),
+        ],
+        "doc_id string, sent_id int, head string, tail string, cluster int",
+    )
+    labels = spark.createDataFrame(
+        [
+            ("d1", 0, "air cargo|pharma", 1),
+            ("d1", 1, "hub|carrier", 1),
+            ("d2", 0, "freight|charter", 0),
+            ("d3", 0, "a|b", 1),
+            ("d3", 1, "c|d", 0),
+        ],
+        "doc_id string, sent_id int, pair_key string, label int",
+    )
+    out = {
+        (r["doc_id"], r["sent_id"]): (r["cluster_label"], r["voted"])
+        for r in classify_clusters(meta, labels).collect()
+    }
+    assert out[("d1", 0)] == (1, True)
+    assert out[("d2", 1)] == (1, False)   # unlabeled member inherits
+    assert out[("d3", 0)][0] == 1         # tie -> YES
+    assert out[("d4", 0)] == (0, False)   # unvoted cluster -> 0
+
+
+def test_classify_clusters_reweight_upweights_rare_no(spark):
+    """reweight=True multiplies NO votes by the global YES/NO ratio (the
+    reference's imbalance correction: the rare class counts more). A
+    weakly-YES cluster (3 YES vs 2 NO) flips to NO when the global pool is
+    YES-heavy (11 YES / 2 NO -> each NO counts 5.5x)."""
+    from kargo_spark.relations import classify_clusters
+
+    meta = spark.createDataFrame(
+        [("d%d" % i, 0, "h%d" % i, "t%d" % i, 0) for i in range(5)]
+        + [("e%d" % i, 0, "a%d" % i, "b%d" % i, 1) for i in range(8)],
+        "doc_id string, sent_id int, head string, tail string, cluster int",
+    )
+    labels = spark.createDataFrame(
+        # cluster 0: 3 YES, 2 NO; cluster 1: 8 YES
+        [("d0", 0, "h0|t0", 1), ("d1", 0, "h1|t1", 1), ("d2", 0, "h2|t2", 1),
+         ("d3", 0, "h3|t3", 0), ("d4", 0, "h4|t4", 0)]
+        + [("e%d" % i, 0, "a%d|b%d" % (i, i), 1) for i in range(8)],
+        "doc_id string, sent_id int, pair_key string, label int",
+    )
+    plain = {r["cluster"]: r["cluster_label"]
+             for r in classify_clusters(meta, labels).collect()}
+    rw = {r["cluster"]: r["cluster_label"]
+          for r in classify_clusters(meta, labels, reweight=True).collect()}
+    assert plain[0] == 1          # 3 YES >= 2 NO
+    assert rw[0] == 0             # 3 YES < 2 * (11/2) weighted NO
+    assert plain[1] == 1 and rw[1] == 1
+
+
+def test_pattern_clusters_groups_similar_patterns(spark):
+    """Edit-ratio DBSCAN over in-between patterns (recovered reference
+    ClusteringRE): two families of near-identical patterns form two
+    clusters; a lone unrelated pattern is noise (-1)."""
+    from kargo_spark.relations import pattern_clusters
+
+    rows = (
+        [(i, "signed a deal with") for i in range(4)]
+        + [(10 + i, "signed a deals with") for i in range(2)]
+        + [(20 + i, "carried cargo to") for i in range(5)]
+        + [(99, "zzzz qqqq completely unrelated pattern xxxx")]
+    )
+    df = spark.createDataFrame(rows, "pair_id long, in_between_words string")
+    out = {r["pair_id"]: r["cluster"] for r in
+           pattern_clusters(df, eps=0.325, min_samples=3).collect()}
+    deal = {out[i] for i in range(4)} | {out[10], out[11]}
+    cargo = {out[20 + i] for i in range(5)}
+    assert len(deal) == 1 and len(cargo) == 1   # each family one cluster
+    assert deal != cargo
+    assert out[99] == -1                        # isolated -> noise
+
+
+def test_full_relation_pipeline_on_reference_dev(spark):
+    """Recovered-reference relation pipeline end to end on REAL artifacts:
+    dev corpus -> reference_pairs (with in_between) -> pattern_clusters ->
+    classify_clusters vs dev_labels.json. Every pair gets a cluster and a
+    label; the dev labels actually join (the reference's own keying)."""
+    import os
+
+    from kargo_spark.io_formats import read_relation_labels_flat, read_terms_csv
+    from kargo_spark.relations import classify_clusters, pattern_clusters, reference_pairs
+    from kargo_spark.xml_io import read_corenlp_tokens
+
+    REF = "/root/reference"
+    toks = read_corenlp_tokens(spark, f"{REF}/data/processed/news/relevant/dev/*.xml")
+    terms = read_terms_csv(spark, f"{REF}/data/processed/news/relevant/dev_terms.csv")
+    prs = reference_pairs(toks, terms).withColumn(
+        "pair_id", F.abs(F.xxhash64("doc_id", "sent_id", "cooc_no"))
+    ).persist()
+    n_pairs = prs.count()
+    assert n_pairs == 1305
+    clusters = pattern_clusters(
+        prs.select("pair_id", F.col("in_between").alias("in_between_words")),
+        eps=0.325, min_samples=3,
+    )
+    meta = prs.join(clusters, "pair_id")
+    labels = read_relation_labels_flat(
+        spark, f"{REF}/data/annotations/relations/dev_labels.json"
+    )
+    out = classify_clusters(meta, labels)
+    assert out.count() == n_pairs
+    voted = out.filter(F.col("voted")).count()
+    assert voted > 1000            # the dev labels key onto our pairs
+    assert out.filter(F.col("cluster_label") == 1).count() > 0
+    assert out.filter(F.col("cluster") >= 0).count() > 0   # real clusters form

@@ -76,38 +76,26 @@ def test_yake_multiword_uses_word_stats(spark):
         (F.col("doc_id") == "d1") & (F.col("ngram") == "cargo carrier")
     ).collect()[0]
 
+    from kargo_spark.weighting import _yake_word_scores
+
     tok_rows = sorted(
         toks.filter(F.col("doc_id") == "d1").collect(),
         key=lambda r: (r["sentence_id"], r["token_id"]),
     )
-    words = [r["word"].lower() for r in tok_rows]
-    sents = [r["sentence_id"] for r in tok_rows]
-    n_sents = max(1, max(sents))
-    stats = {}
-    for i, (w, s) in enumerate(zip(words, sents)):
-        st = stats.setdefault(w, [0, [], set()])
-        st[0] += 1
-        st[1].append(i)
-        st[2].add(s)
-    freqs = np.array([v[0] for v in stats.values()], dtype=float)
-    mean_f, std_f = freqs.mean(), freqs.std() or 1.0
-    max_f = freqs.max()
-
-    def wscore(w):
-        tf_w, positions, sset = stats[w]
-        t_pos = np.log(np.log(3 + np.median(positions)))
-        t_freq = tf_w / (mean_f + std_f)
-        t_spread = len(sset) / n_sents
-        return t_pos / max(1e-9, t_freq / max_f * (1 + t_spread))
-
+    wscore = _yake_word_scores(
+        [r["word"] for r in tok_rows],
+        [r["word"].lower() for r in tok_rows],
+        [r["sentence_id"] for r in tok_rows],
+        [r["token_id"] for r in tok_rows],
+    )
     tf_c = cands.filter(
         (F.col("doc_id") == "d1") & (F.col("lemma_term") == "cargo carrier")
     ).count()
-    ws = [wscore("cargo"), wscore("carrier")]
+    # both words occur in d1, so neither lookup may fall back to 1.0
+    assert all(w in wscore for w in ("cargo", "carrier"))
+    ws = [wscore["cargo"], wscore["carrier"]]
     expected = -(ws[0] * ws[1] / (tf_c * (1 + sum(ws))))
     assert abs(row["score"] - expected) < 1e-9
-    # both words occur in d1, so neither lookup may fall back to 1.0
-    assert all(w in stats for w in ("cargo", "carrier"))
 
 
 def test_pagerank_numpy_uniform_on_symmetric_clique():
@@ -143,3 +131,19 @@ def test_distributed_pagerank_matches_numpy(spark):
     for n, i in ix.items():
         assert abs(got[n] - expect[i]) < 1e-3, (n, got[n], expect[i])
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_yake_full_features_casing_helps():
+    """Full YAKE (Campos et al.): an acronym (TCase > 0) must score better
+    (lower raw S) than an equally frequent/positioned plain word."""
+    from kargo_spark.weighting import _yake_word_scores
+
+    orig = ["The", "DHL", "network", "grew", "fast", "then",
+            "the", "DHL", "network", "grew", "more", "still"]
+    low = [w.lower() for w in orig]
+    sents = [1] * 6 + [2] * 6
+    tids = list(range(1, 7)) + list(range(1, 7))
+    ws = _yake_word_scores(orig, low, sents, tids)
+    # dhl and network: same tf (2), adjacent positions, same sentences —
+    # only casing differs
+    assert ws["dhl"] < ws["network"]
