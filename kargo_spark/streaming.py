@@ -71,3 +71,63 @@ def process_all(stream_df: DataFrame, query_name: str, output_mode: str = "appen
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_id long, n_events long, "
+    "session_start timestamp, session_end timestamp"
+)
+SESSION_STATE_SCHEMA = "last_epoch long, session_id long, n_events long, start_epoch long"
+
+
+def stateful_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    sessionization with a gap rule, state carried ACROSS micro-batches —
+    the streaming twin of the batch ``sessionize`` query. Emits the
+    current (user_id, session_id, n_events, start, end) row for every
+    session touched by a batch (update mode; downstream sinks upsert).
+
+    State per user = (last event epoch, open session ordinal, event count,
+    session start epoch). Arrow-batched; no per-row Python objects beyond
+    the group's own pandas frame.
+    """
+    import pandas as pd
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        if state.exists:
+            last_epoch, session_id, n_events, start_epoch = state.get
+        else:
+            last_epoch, session_id, n_events, start_epoch = -10**18, 0, 0, None
+        touched = {}
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            for ts in pdf["ts"].values:
+                epoch = int(pd.Timestamp(ts).value // 10**9)
+                if epoch - last_epoch > gap_seconds:
+                    session_id += 1  # sessions are 1-based per user
+                    n_events = 0
+                    start_epoch = epoch
+                n_events += 1
+                last_epoch = epoch
+                touched[session_id] = (n_events, start_epoch, last_epoch)
+        state.update((last_epoch, session_id, n_events, start_epoch))
+        rows = [
+            (user_id, sid, n, pd.Timestamp(s, unit="s"), pd.Timestamp(e, unit="s"))
+            for sid, (n, s, e) in touched.items()
+        ]
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "session_id", "n_events", "session_start", "session_end"],
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    e = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return e.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUTPUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

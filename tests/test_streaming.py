@@ -51,3 +51,57 @@ def test_streaming_docs_clean_dedups(spark, tmp_path):
     )
     assert got.count() == batch_keys
     assert got.select("doc_id").distinct().count() == got.count()
+
+
+def test_stateful_sessionize_state_spans_batches(spark, tmp_path):
+    """applyInPandasWithState sessionizer: per-user state must survive
+    micro-batch boundaries (maxFilesPerTrigger=1 -> one batch per file).
+    user 1: two sessions split by a > gap pause; user 2: ONE session whose
+    events span the two batches (the cross-batch continuation proof)."""
+    import os
+    import time
+
+    from kargo_spark.streaming import stateful_sessionize
+
+    base = int(time.time() // 86400 * 86400)  # stable day-aligned epoch
+
+    def write(path, rows):
+        spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp") \
+            .coalesce(1).write.mode("overwrite").parquet(path)
+
+    d = str(tmp_path / "events")
+    f1, f2 = f"{d}/b1", f"{d}/b2"
+    from datetime import datetime, timezone
+
+    def t(sec):
+        return datetime.fromtimestamp(base + sec, tz=timezone.utc).replace(tzinfo=None)
+
+    write(f1, [(1, 1, t(0)), (1, 2, t(100)), (2, 1, t(0))])
+    write(f2, [(1, 3, t(4000)), (1, 4, t(4100)), (2, 2, t(500))])
+    now = time.time()
+    for p, age in ((f1, 120), (f2, 60)):
+        for fn in os.listdir(p):
+            os.utime(os.path.join(p, fn), (now - age, now - age))
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+    )
+    out = stateful_sessionize(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.outputMode("update").format("memory")
+        .queryName("sess_test").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT user_id, session_id, max(n_events) AS n FROM sess_test "
+        "GROUP BY user_id, session_id"
+    ).collect()
+    got = {(r["user_id"], r["session_id"]): r["n"] for r in rows}
+    assert got[(1, 1)] == 2 and got[(1, 2)] == 2   # gap split two sessions
+    assert got[(2, 1)] == 2                        # one session across batches
+    assert (2, 2) not in got
