@@ -725,11 +725,50 @@ def q_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media → mapInPandas feature extraction. The synthetic payload
+    (repeat(sha256, 8)) and kind selector (media_id % 3) are deterministic
+    and SQL-expressible, so n_bytes/sha are DuckDB-oracle-checked — the
+    decode stub's float features stay pytest-only."""
     from kargo_spark.multimodal import extract_features, repartition_by_bytes, synth_media
 
     media = synth_media(spark, n=64)
     feats = extract_features(repartition_by_bytes(media))
     return feats.select("media_id", "kind", "n_bytes", "sha")
+
+
+def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs (the parity baseline for the LSH-blocked
+    ``embedding_neardup``): all-pairs cosine >= 0.35 over the embeddings
+    table. O(n²) on purpose — correctness oracle, not the scale path."""
+    from kargo_spark.dedup import embedding_pairs_exact
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_pairs_exact(emb, threshold=0.35).select(
+        "a", "b", F.round("cos", 4).alias("cos")
+    )
+
+
+def q_word_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed corpus PageRank over the adjacent-word co-occurrence
+    graph (same salted per-partition-merged kernel as ``corpus_pagerank``,
+    but with a pure-Column edge builder so the whole query — graph build +
+    3 power iterations — is DuckDB-oracle-checkable)."""
+    from kargo_spark.graph_rank import distributed_pagerank
+
+    d = _docs(spark, sf_dir)
+    w = d.select("doc_id", F.posexplode(_toks(F.col("text"))).alias("pos", "word"))
+    nxt = w.withColumn(
+        "nxt", F.lead("word").over(Window.partitionBy("doc_id").orderBy("pos"))
+    )
+    edges = (
+        nxt.filter(F.col("nxt").isNotNull() & (F.col("word") != F.col("nxt")))
+        .select(F.least("word", "nxt").alias("src"), F.greatest("word", "nxt").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    return distributed_pagerank(edges, iters=3).select(
+        "ngram", F.round("score", 6).alias("score")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -763,15 +802,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_stats": q_embedding_stats,
+        "embedding_neardup_exact": q_embedding_neardup_exact,
+        "word_pagerank": q_word_pagerank,
         "relative_recall": q_relative_recall,
         "merge_spans": q_merge_spans,
-        # rows-only (no SQL oracle):
         "minhash_neardup": q_minhash_neardup,
+        "multimodal_features": q_multimodal_features,
+        # rows-only (no SQL oracle):
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
         "kg_pipeline_triples": q_kg_pipeline_triples,
-        "multimodal_features": q_multimodal_features,
         "embedrank": q_embedrank,
         "topic_rank": q_topic_rank,
         "corpus_pagerank": q_corpus_pagerank,
@@ -1232,5 +1273,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS n,
                    round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v * v)))), 4) AS mean_norm
             FROM embeddings GROUP BY label
+        """,
+        "embedding_neardup_exact": """
+            WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.id AS a, b.id AS b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS cos
+            FROM e a JOIN e b ON a.id < b.id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+        """,
+        "multimodal_features": """
+            WITH m AS (
+                SELECT t.range AS media_id,
+                       repeat(sha256('media' || t.range), 8) AS payload
+                FROM range(64) t
+            )
+            SELECT media_id,
+                   (['image','audio','video'])[(media_id % 3 + 1)] AS kind,
+                   length(payload)::BIGINT AS n_bytes,
+                   sha256(payload) AS sha
+            FROM m
+        """,
+        "word_pagerank": f"""
+            WITH wp AS (
+                SELECT doc_id, unnest({toks}) AS word,
+                       unnest(range(1, len({toks}) + 1)) AS pos
+                FROM documents
+            ),
+            adj AS (
+                SELECT doc_id, word,
+                       lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+                FROM wp
+            ),
+            edges AS (
+                SELECT least(word, nxt) AS src, greatest(word, nxt) AS dst,
+                       count(*)::DOUBLE AS weight
+                FROM adj WHERE nxt IS NOT NULL AND word <> nxt
+                GROUP BY 1, 2
+            ),
+            sym AS (
+                SELECT src, dst, weight FROM edges
+                UNION ALL
+                SELECT dst AS src, src AS dst, weight FROM edges
+            ),
+            outw AS (SELECT src, sum(weight) AS out_w FROM sym GROUP BY src),
+            fr AS (
+                SELECT s.src, s.dst, s.weight / o.out_w AS frac
+                FROM sym s JOIN outw o ON s.src = o.src
+            ),
+            v AS (SELECT DISTINCT src AS ngram FROM sym),
+            n AS (SELECT count(*)::DOUBLE AS n FROM v),
+            r0 AS (SELECT ngram, 1.0 / (SELECT n FROM n) AS score FROM v),
+            r1 AS (
+                SELECT v.ngram, (1 - 0.85) / (SELECT n FROM n)
+                       + 0.85 * coalesce(c.contrib, 0.0) AS score
+                FROM v LEFT JOIN (
+                    SELECT fr.dst, sum(r0.score * fr.frac) AS contrib
+                    FROM fr JOIN r0 ON fr.src = r0.ngram GROUP BY fr.dst
+                ) c ON v.ngram = c.dst
+            ),
+            r2 AS (
+                SELECT v.ngram, (1 - 0.85) / (SELECT n FROM n)
+                       + 0.85 * coalesce(c.contrib, 0.0) AS score
+                FROM v LEFT JOIN (
+                    SELECT fr.dst, sum(r1.score * fr.frac) AS contrib
+                    FROM fr JOIN r1 ON fr.src = r1.ngram GROUP BY fr.dst
+                ) c ON v.ngram = c.dst
+            ),
+            r3 AS (
+                SELECT v.ngram, (1 - 0.85) / (SELECT n FROM n)
+                       + 0.85 * coalesce(c.contrib, 0.0) AS score
+                FROM v LEFT JOIN (
+                    SELECT fr.dst, sum(r2.score * fr.frac) AS contrib
+                    FROM fr JOIN r2 ON fr.src = r2.ngram GROUP BY fr.dst
+                ) c ON v.ngram = c.dst
+            )
+            SELECT ngram, round(score, 6) AS score FROM r3
         """,
     }

@@ -335,3 +335,23 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .dropDuplicates(["a", "b"])
     )
+
+
+def embedding_pairs_exact(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold — the correctness baseline /
+    parity oracle for ``embedding_neardup_pairs`` (which is the LSH-blocked
+    scale path). O(n²) by construction: use only for small corpora, recall
+    audits, and oracle checks; never the pipeline default."""
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    a = v.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", cosine_expr(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -33,8 +33,10 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table: binary payload = seeded bytes."""
     df = spark.range(n).withColumnRenamed("id", "media_id")
     h = F.abs(F.xxhash64("media_id", F.lit(seed)))
-    kind = F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (h % 3 + 1).cast("int"))
-    fmt = F.element_at(F.array(F.lit("png"), F.lit("wav"), F.lit("mp4")), (h % 3 + 1).cast("int"))
+    # kind/fmt cycle on media_id (not the hash) so the multimodal_features
+    # driver query is DuckDB-oracle-expressible end to end
+    kind = F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col("media_id") % 3 + 1).cast("int"))
+    fmt = F.element_at(F.array(F.lit("png"), F.lit("wav"), F.lit("mp4")), (F.col("media_id") % 3 + 1).cast("int"))
     payload = F.repeat(F.sha2(F.concat(F.lit("media"), F.col("media_id").cast("string")), 256), 8)
     return df.select(
         "media_id",
