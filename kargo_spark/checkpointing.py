@@ -47,13 +47,50 @@ class CheckpointRunner:
     without colocated-disk write serialization.
     """
 
-    def __init__(self, spark: SparkSession, root: str | None, resume: bool = True):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str | None,
+        resume: bool = True,
+        use_snapshots: bool = False,
+    ):
         self.spark = spark
         self.root = root
         self.resume = resume and root is not None
+        self.use_snapshots = use_snapshots and root is not None
         self.results: list[StageResult] = []
         if root is not None:
             os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str):
+        """The stage's Iceberg-lite table (snapshot mode only): atomic
+        metadata-pointer commits, time travel, rollback — see
+        iceberg_lite.IcebergLiteTable."""
+        from .iceberg_lite import IcebergLiteTable
+
+        return IcebergLiteTable(self.spark, self._dir(name))
+
+    def _run_stage_snapshot(self, name: str, fn: Callable[[], DataFrame]) -> DataFrame:
+        t0 = time.time()
+        tbl = self.table(name)
+        if self.resume and tbl.exists():
+            snap = tbl._snapshot(tbl.current_snapshot_id())
+            self.results.append(
+                StageResult(
+                    name, self._dir(name), snap["summary"]["added_rows"],
+                    time.time() - t0, True, snap["summary"]["added_partitions"],
+                )
+            )
+            return tbl.read()
+        tbl.commit(fn(), "overwrite")
+        snap = tbl._snapshot(tbl.current_snapshot_id())
+        self.results.append(
+            StageResult(
+                name, self._dir(name), snap["summary"]["added_rows"],
+                time.time() - t0, False, snap["summary"]["added_partitions"],
+            )
+        )
+        return tbl.read()
 
     def _dir(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -75,6 +112,8 @@ class CheckpointRunner:
     def run_stage(self, name: str, fn: Callable[[], DataFrame]) -> DataFrame:
         """Compute-or-load a stage. ``fn`` is only invoked on a cache miss,
         so resumed runs never even build the upstream plan."""
+        if self.use_snapshots:
+            return self._run_stage_snapshot(name, fn)
         t0 = time.time()
         if self.root is None:
             df = fn().persist()

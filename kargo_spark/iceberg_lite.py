@@ -1,0 +1,211 @@
+"""Iceberg-semantics table format over parquet (snapshot stand-in).
+
+The north rule materializes every stage and the graph tables as Iceberg
+tables. The Iceberg runtime jar is not in this sandbox, so this module
+reimplements the *semantics* the pipeline relies on, with the same
+commit protocol shape Iceberg uses:
+
+* **atomic commits** — data files are written to an immutable per-snapshot
+  directory, then a new ``v{N}.metadata.json`` is written and the
+  ``version-hint.text`` pointer is swapped with ``os.replace`` (atomic on
+  POSIX). A reader that races a writer sees either the old or the new
+  snapshot, never a torn table — exactly Iceberg's metadata-pointer swap.
+* **snapshot lineage** — each snapshot records its parent id, operation
+  (append/overwrite), wall-clock, and a summary with per-partition row
+  counts (the north rule's per-partition lineage + counter metrics).
+* **time travel** — ``read(snapshot_id=...)`` reads any retained snapshot;
+  ``rollback(snapshot_id)`` makes an old snapshot current again by
+  committing a new metadata version that points at it (history is never
+  rewritten, matching Iceberg rollback).
+* **appends without rewrite** — an ``append`` snapshot inherits the parent
+  snapshot's data directories and adds its own; no data file is ever
+  rewritten or deleted by a commit.
+
+Swapping in real Iceberg is confined to ``_write_data`` / ``_scan``:
+``df.writeTo(table).append()`` / ``createOrReplace()`` and
+``spark.read.table("t VERSION AS OF n")`` replace the parquet calls
+one-for-one; every caller goes through this class.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_HINT = "version-hint.text"
+
+
+class IcebergLiteTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+
+    # -- metadata pointer -------------------------------------------------
+
+    def _hint_path(self) -> str:
+        return os.path.join(self.meta_dir, _HINT)
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._hint_path()) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _metadata(self, version: int | None = None) -> dict | None:
+        v = self.current_version() if version is None else version
+        if v is None:
+            return None
+        try:
+            with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def exists(self) -> bool:
+        return self._metadata() is not None
+
+    def snapshots(self) -> list[dict]:
+        m = self._metadata()
+        return list(m["snapshots"]) if m else []
+
+    def current_snapshot_id(self) -> int | None:
+        m = self._metadata()
+        return m["current_snapshot_id"] if m else None
+
+    def _snapshot(self, snapshot_id: int) -> dict:
+        for s in self.snapshots():
+            if s["snapshot_id"] == snapshot_id:
+                return s
+        raise KeyError(f"snapshot {snapshot_id} not found in {self.root}")
+
+    # -- commit protocol --------------------------------------------------
+
+    def _write_data(self, df: DataFrame, data_dir: str) -> dict[str, int]:
+        """The isolated writer: real Iceberg = ``df.writeTo(...).append()``.
+        Tags rows with the writing partition id (lineage column) and
+        returns per-partition row counts for the snapshot summary."""
+        out = df.withColumn("_partition_id", F.spark_partition_id())
+        out.write.mode("overwrite").parquet(data_dir)
+        written = self.spark.read.parquet(data_dir)
+        return {
+            str(r["_partition_id"]): r["n"]
+            for r in written.groupBy("_partition_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    def commit(self, df: DataFrame, operation: str = "overwrite") -> int:
+        """Write a new snapshot and atomically make it current. Returns the
+        snapshot id. ``append`` inherits the parent's data directories."""
+        assert operation in ("append", "overwrite")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        prev = self._metadata()
+        parent_id = prev["current_snapshot_id"] if prev else None
+        snapshot_id = (parent_id or 0) + 1
+        version = (self.current_version() or 0) + 1
+
+        data_dir = os.path.join(self.root, "data", f"snap-{snapshot_id}")
+        pcounts = self._write_data(df, data_dir)
+
+        dirs = [data_dir]
+        if operation == "append" and parent_id is not None:
+            dirs = self._snapshot(parent_id)["data_dirs"] + dirs
+        snap = {
+            "snapshot_id": snapshot_id,
+            "parent_snapshot_id": parent_id,
+            "operation": operation,
+            "timestamp_ms": int(time.time() * 1000),
+            "data_dirs": dirs,
+            "summary": {
+                "added_rows": sum(pcounts.values()),
+                "added_partitions": pcounts,
+                "schema": df.schema.simpleString(),
+            },
+        }
+        meta = {
+            "format_version": 1,
+            "current_snapshot_id": snapshot_id,
+            "snapshots": (prev["snapshots"] if prev else []) + [snap],
+        }
+        self._commit_metadata(version, meta)
+        return snapshot_id
+
+    def _commit_metadata(self, version: int, meta: dict) -> None:
+        """Iceberg's atomic swap: metadata file first, then the pointer via
+        ``os.replace`` (rename is atomic within a filesystem)."""
+        with open(os.path.join(self.meta_dir, f"v{version}.metadata.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        tmp = self._hint_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._hint_path())
+
+    # -- reads ------------------------------------------------------------
+
+    def _scan(self, dirs: list[str]) -> DataFrame:
+        """The isolated reader: real Iceberg = ``spark.read.table(...)``."""
+        return self.spark.read.parquet(*dirs).drop("_partition_id")
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """Current table state, or time travel to ``snapshot_id``."""
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        return self._scan(self._snapshot(sid)["data_dirs"])
+
+    # -- maintenance ------------------------------------------------------
+
+    def rollback(self, snapshot_id: int) -> int:
+        """Make an old snapshot current again (new metadata version; the
+        abandoned snapshots stay in history, as in Iceberg)."""
+        snap = self._snapshot(snapshot_id)  # raises if unknown
+        meta = self._metadata()
+        meta["current_snapshot_id"] = snap["snapshot_id"]
+        version = self.current_version() + 1
+        self._commit_metadata(version, meta)
+        return version
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """Drop old snapshots' metadata entries and delete data dirs no
+        retained snapshot references. Returns expired ids. (Iceberg's
+        expire_snapshots maintenance action.)"""
+        import shutil
+
+        meta = self._metadata()
+        if meta is None:
+            return []
+        snaps = meta["snapshots"]
+        keep = snaps[-keep_last:]
+        cur = next((s for s in snaps if s["snapshot_id"] == meta["current_snapshot_id"]), None)
+        if cur is not None and cur not in keep:
+            keep = [cur] + keep
+        expired = [s for s in snaps if s not in keep]
+        live = {d for s in keep for d in s["data_dirs"]}
+        for s in expired:
+            for d in s["data_dirs"]:
+                if d not in live and os.path.isdir(d):
+                    shutil.rmtree(d, ignore_errors=True)
+        meta["snapshots"] = keep
+        self._commit_metadata(self.current_version() + 1, meta)
+        return [s["snapshot_id"] for s in expired]
+
+
+def write_graph_tables(
+    spark: SparkSession, triples: DataFrame, root: str, operation: str = "overwrite"
+) -> dict[str, int]:
+    """Materialize the triple store as node/edge Iceberg-lite tables
+    (north rule: 'canonicalization into a deduplicated triple store
+    materialized as Iceberg graph tables'). Returns snapshot ids."""
+    from .graph_store import graph_tables
+
+    nodes, edges = graph_tables(triples)
+    return {
+        "nodes": IcebergLiteTable(spark, os.path.join(root, "nodes")).commit(nodes, operation),
+        "edges": IcebergLiteTable(spark, os.path.join(root, "edges")).commit(edges, operation),
+    }

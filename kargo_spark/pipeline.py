@@ -56,6 +56,7 @@ def run_pipeline(
     linking: bool = True,
     exact_cluster_max: int = 20_000,
     resume: bool = True,
+    use_snapshots: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full DAG; returns every stage table by name.
 
@@ -67,7 +68,7 @@ def run_pipeline(
     ``linking=False`` skips the entities/links stages entirely — callers
     that only want triples must not pay for eager stage materialization.
     """
-    ck = CheckpointRunner(spark, workdir, resume=resume)
+    ck = CheckpointRunner(spark, workdir, resume=resume, use_snapshots=use_snapshots)
 
     docs_clean = ck.run_stage("docs_clean", lambda: corpus.docs_clean(documents))
     tokens = ck.run_stage(
