@@ -748,6 +748,37 @@ def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: documents sharing any word 4-gram with
+    the held-out 'benchmark' slice (doc_id % 17 == 0) are flagged with
+    overlap counts. Inverted-index + broadcast join — the n-gram-overlap
+    rule big-LM training pipelines run before training."""
+    from kargo_spark.dedup import contamination_flags
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    return contamination_flags(corpus, bench, n=4)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals (duplicate-word /
+    duplicate-3-gram fractions, top-word share) — pure Column codegen."""
+    from kargo_spark.textstats import repetition_signals
+
+    d = _docs(spark, sf_dir)
+    r = repetition_signals(F.col("text"))
+    return d.select(
+        "doc_id",
+        r["n_words"].alias("n_words"),
+        F.round(r["dup_word_ratio"], 6).alias("dup_word_ratio"),
+        F.round(r["dup_3gram_ratio"], 6).alias("dup_3gram_ratio"),
+        F.round(r["top_word_ratio"], 6).alias("top_word_ratio"),
+    )
+
+
 def q_word_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed corpus PageRank over the adjacent-word co-occurrence
     graph (same salted per-partition-merged kernel as ``corpus_pagerank``,
@@ -804,6 +835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": q_embedding_stats,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "word_pagerank": q_word_pagerank,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
         "relative_recall": q_relative_recall,
         "merge_spans": q_merge_spans,
         "minhash_neardup": q_minhash_neardup,
@@ -1292,6 +1325,45 @@ def oracle_sql() -> dict[str, str]:
                    length(payload)::BIGINT AS n_bytes,
                    sha256(payload) AS sha
             FROM m
+        """,
+        "decontaminate": f"""
+            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+            sh AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+                         ELSE list_distinct(list_transform(
+                             range(1, len(toks) - 4 + 2),
+                             i -> array_to_string(toks[i:i+3], ' ')))
+                    END) AS s
+                FROM t
+            ),
+            bench AS (SELECT DISTINCT doc_id AS bench_id, s FROM sh WHERE doc_id % 17 = 0),
+            corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 17 <> 0)
+            SELECT c.doc_id,
+                   count(DISTINCT c.s) AS n_hits,
+                   count(DISTINCT b.bench_id) AS n_bench
+            FROM corp c JOIN bench b USING (s)
+            GROUP BY c.doc_id
+        """,
+        "repetition_stats": f"""
+            WITH base AS (
+                SELECT doc_id, {toks_ap} AS toks,
+                       len({toks_ap}) AS n,
+                       list_transform(range(1, greatest(len({toks_ap}) - 2, 1) + 1),
+                                      i -> array_to_string(({toks_ap})[i:i+2], ' ')) AS grams
+                FROM documents
+            ),
+            tc AS (
+                SELECT doc_id, count(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS w FROM base)
+                GROUP BY doc_id, w
+            ),
+            top AS (SELECT doc_id, max(c) AS topc FROM tc GROUP BY doc_id)
+            SELECT b.doc_id, b.n::BIGINT AS n_words,
+                   round((b.n - len(list_distinct(b.toks))) / greatest(b.n, 1)::DOUBLE, 6) AS dup_word_ratio,
+                   round((len(b.grams) - len(list_distinct(b.grams))) / greatest(len(b.grams), 1)::DOUBLE, 6) AS dup_3gram_ratio,
+                   round(coalesce(t.topc, 0) / greatest(b.n, 1)::DOUBLE, 6) AS top_word_ratio
+            FROM base b LEFT JOIN top t USING (doc_id)
         """,
         "word_pagerank": f"""
             WITH wp AS (

@@ -337,6 +337,47 @@ def embedding_neardup_pairs(
     )
 
 
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Training-set decontamination: flag corpus documents that share any
+    word ``n``-gram with a benchmark / eval corpus — the n-gram-overlap
+    rule big-LM training pipelines apply before training (drop or mark
+    docs that leak eval data).
+
+    Scale shape: inverted-index join on the shingle string. The benchmark
+    side (eval sets — thousands of rows, not TBs) is deduped to distinct
+    (shingle, bench_id) and **broadcast**; the 100-TB corpus side streams
+    through as an explode → broadcast-hash-join → partial-agg groupBy, so
+    there is no shuffle of corpus shingles and no cross join.
+
+    Returns (doc_id, n_hits = #distinct overlapping shingles,
+    n_bench = #distinct benchmark docs hit).
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("s"),
+    )
+    b = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(shingles(F.col(bench_text_col), n)).alias("s"),
+    ).dropDuplicates(["bench_id", "s"])
+    return (
+        d.join(F.broadcast(b), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_hits"),
+            F.countDistinct("bench_id").alias("n_bench"),
+        )
+    )
+
+
 def embedding_pairs_exact(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -112,6 +112,50 @@ def quality_score(col, stopwords: list[str] | None = None):
     )
 
 
+def repetition_signals(col):
+    """Within-document repetition signals (Gopher/MassiveText repetition
+    filters, the SQL-expressible subset): fraction of duplicate words and
+    duplicate word-3-grams, plus the frequency share of the single most
+    repeated word. High values mark boilerplate / template / spam docs a
+    training pipeline should drop. Pure Column math — codegen, no UDF.
+
+    Returns struct(n_words, dup_word_ratio, dup_3gram_ratio,
+    top_word_ratio), ratios 0.0 on empty docs.
+    """
+    toks = _tokens(col)
+    n = F.size(toks)
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    dup_word = (n - F.size(F.array_distinct(toks))) / nd
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 3), " "))
+    ng = F.greatest(F.size(grams), F.lit(1)).cast("double")
+    dup_gram = (F.size(grams) - F.size(F.array_distinct(grams))) / ng
+    # most-frequent-word share: sort, then a single fold tracking the
+    # longest equal-run — O(n log n) per doc even for giant docs (an
+    # O(distinct · words) nested scan would stall on 100k-word documents)
+    run = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda a, t: F.struct(
+            t.alias("prev"),
+            F.when(t == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(t == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top_ratio = run["best"] / nd
+    return F.struct(
+        n.cast("long").alias("n_words"),
+        dup_word.cast("double").alias("dup_word_ratio"),
+        dup_gram.cast("double").alias("dup_3gram_ratio"),
+        top_ratio.cast("double").alias("top_word_ratio"),
+    )
+
+
 def make_html_unescape():
     """html.unescape as a scalar-iterator pandas_udf (reference terms.py:80,
     corpus.py:539 call it per doc; no native Spark equivalent)."""

@@ -172,3 +172,39 @@ def test_embedding_neardup_pairs(spark):
     got = {(r["a"], r["b"]) for r in out}
     assert (1, 2) in got
     assert (1, 3) not in got
+
+
+def test_embedding_pairs_exact_matches_cosine(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    vdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {(r["a"], r["b"]): r["cos"] for r in
+           dedup.embedding_pairs_exact(vdf, threshold=0.5).collect()}
+    assert (1, 2) in out and out[(1, 2)] > 0.99
+    assert (1, 4) in out and abs(out[(1, 4)] - 0.7 / (0.7 * 2 ** 0.5) * 1.0) < 1e-9
+    assert (1, 3) not in out  # orthogonal
+
+
+def test_contamination_flags_inverted_index(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "totally unrelated text about cargo rates and airlines"),
+            (3, "quick brown fox jumps high above everything else"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps over a fence")],
+        "bench_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_hits"], r["n_bench"]) for r in
+           dedup.contamination_flags(corpus, bench, n=4).collect()}
+    # doc 1 shares 'the quick brown fox', 'quick brown fox jumps'; doc 3 one
+    assert out[1][0] >= 2 and out[1][1] == 1
+    assert out[3] == (1, 1)
+    assert 2 not in out  # clean doc unflagged

@@ -147,3 +147,26 @@ def test_frame_sample_explodes_video_rows(spark):
     n_videos = media.filter(F.col("kind") == "video").count()
     assert frames.select("media_id").distinct().count() == n_videos
     assert frames.count() >= n_videos
+
+
+def test_repetition_signals_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),               # one word repeated 4x
+            (2, "all words here are fully distinct"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    r = textstats.repetition_signals(F.col("text"))
+    out = {row["doc_id"]: row for row in df.select("doc_id", r.alias("r")).select(
+        "doc_id", "r.n_words", "r.dup_word_ratio", "r.dup_3gram_ratio", "r.top_word_ratio"
+    ).collect()}
+    assert out[1]["n_words"] == 4
+    assert abs(out[1]["dup_word_ratio"] - 0.75) < 1e-9
+    assert out[1]["top_word_ratio"] == 1.0
+    # 'spam spam spam' 3-grams: 2 identical -> 1 dup of 2
+    assert abs(out[1]["dup_3gram_ratio"] - 0.5) < 1e-9
+    assert out[2]["dup_word_ratio"] == 0.0
+    assert abs(out[2]["top_word_ratio"] - 1 / 6) < 1e-9
+    assert out[3]["n_words"] == 0 and out[3]["top_word_ratio"] == 0.0
