@@ -165,51 +165,49 @@ def _doc_topic_rank(pdf: pd.DataFrame, multipartite: bool, alpha: float = 1.1) -
         .agg(term=("term", "first"), first_off=("offset_begin", "min"))
         .reset_index()
     )
-    offsets = {r.ngram: sorted(occ[occ["ngram"] == r.ngram]["offset_begin"].values)
-               for r in cands.itertuples()}
     topics = _topic_clusters(cands)
     n = len(cands)
     if n == 0:
         return pd.DataFrame(columns=["doc_id", "ngram", "term", "score"])
-    topic_of = {}
+    topic_of = np.empty(n, dtype=np.int64)
     for t, members in enumerate(topics):
         for m in members:
             topic_of[m] = t
+    # candidate-pair weights sum(1/(|oi-oj|+1)) over all occurrence pairs,
+    # vectorized: blocked outer |offset| differences scatter-added into the
+    # candidate adjacency (the per-pair Python quadruple loop was
+    # O(cands²·occ²) interpreter work — a giant doc stalled its task)
+    cat = pd.Categorical(occ["ngram"], categories=cands["ngram"])
+    cidx = np.asarray(cat.codes, dtype=np.int64)
+    offs = occ["offset_begin"].to_numpy(dtype=np.float64)
+    adj = np.zeros((n, n))
+    block = 4096  # bounds the dense occ×occ slab to ~block·occ floats
+    for s in range(0, len(offs), block):
+        d = 1.0 / (np.abs(offs[s:s + block, None] - offs[None, :]) + 1.0)
+        np.add.at(adj, (cidx[s:s + block, None], cidx[None, :]), d)
+    same_topic = topic_of[:, None] == topic_of[None, :]
     if multipartite:
-        adj = np.zeros((n, n))
-        for i in range(n):
-            for j in range(n):
-                if i != j and topic_of[i] != topic_of[j]:
-                    w = sum(
-                        1.0 / (abs(oi - oj) + 1)
-                        for oi in offsets[cands["ngram"][i]]
-                        for oj in offsets[cands["ngram"][j]]
-                    )
-                    adj[i, j] += w
+        adj = np.where(same_topic, 0.0, adj)  # edges only across topics
         # position boost: first candidate of each topic
         pers = np.ones(n)
+        first_off = cands["first_off"].to_numpy()
         for members in topics:
-            first = min(members, key=lambda m: cands["first_off"][m])
-            pers[first] *= alpha * np.e ** (1.0 / (cands["first_off"][first] + 1))
+            first = min(members, key=lambda m: first_off[m])
+            pers[first] *= alpha * np.e ** (1.0 / (first_off[first] + 1))
         ranks = _pagerank_numpy(adj, pers)
         rows = [(doc_id, cands["ngram"][i], cands["term"][i], float(ranks[i])) for i in range(n)]
     else:
         k = len(topics)
-        tadj = np.zeros((k, k))
-        for a in range(k):
-            for b in range(k):
-                if a != b:
-                    w = sum(
-                        1.0 / (abs(oi - oj) + 1)
-                        for ma in topics[a] for mb in topics[b]
-                        for oi in offsets[cands["ngram"][ma]]
-                        for oj in offsets[cands["ngram"][mb]]
-                    )
-                    tadj[a, b] = w
+        # topic graph: aggregate candidate weights by one-hot membership
+        member = np.zeros((n, k))
+        member[np.arange(n), topic_of] = 1.0
+        tadj = member.T @ adj @ member
+        np.fill_diagonal(tadj, 0.0)
         tr = _pagerank_numpy(tadj)
+        first_off = cands["first_off"].to_numpy()
         rows = []
         for t, members in enumerate(topics):
-            first = min(members, key=lambda m: cands["first_off"][m])
+            first = min(members, key=lambda m: first_off[m])
             rows.append((doc_id, cands["ngram"][first], cands["term"][first], float(tr[t])))
     return pd.DataFrame(rows, columns=["doc_id", "ngram", "term", "score"])
 
