@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--cluster-relations", action="store_true")
     ap.add_argument("--scalable-clustering", action="store_true")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--use-snapshots", action="store_true",
+                    help="stage checkpoints as Iceberg-lite snapshot tables")
+    ap.add_argument("--graph-root", help="materialize node/edge graph tables here")
     args = ap.parse_args()
 
     from kargo_spark.pipeline import run_pipeline
@@ -51,9 +54,17 @@ def main() -> None:
         cluster_relations=args.cluster_relations,
         scalable_clustering=args.scalable_clustering,
         resume=not args.no_resume,
+        use_snapshots=args.use_snapshots,
     )
     metrics = [r.asDict() for r in out["metrics"].collect()]
-    print(json.dumps({"stages": metrics, "triples": out["triples"].count()}))
+    result = {"stages": metrics, "triples": out["triples"].count()}
+    if args.graph_root:
+        from kargo_spark.iceberg_lite import write_graph_tables
+
+        result["graph_snapshots"] = write_graph_tables(
+            spark, out["triples"], args.graph_root
+        )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
