@@ -779,6 +779,31 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with a deterministic planted PII suffix
+    (so every row exercises the email/ssn/ip/phone rules): typed counts +
+    md5 of the redacted text. Pure Column regexp codegen."""
+    from kargo_spark.textstats import redact_pii
+
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ssn 123-45-6789 or +1 555 010 0199 host 10.0.0."),
+        (F.col("doc_id") % 255).cast("string"),
+    )
+    r = redact_pii(planted)
+    return d.select(
+        "doc_id",
+        r["n_email"].cast("long").alias("n_email"),
+        r["n_ssn"].cast("long").alias("n_ssn"),
+        r["n_ipv4"].cast("long").alias("n_ipv4"),
+        r["n_phone"].cast("long").alias("n_phone"),
+        F.md5(r["redacted"]).alias("redacted_md5"),
+    )
+
+
 def q_word_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed corpus PageRank over the adjacent-word co-occurrence
     graph (same salted per-partition-merged kernel as ``corpus_pagerank``,
@@ -837,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_pagerank": q_word_pagerank,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
+        "pii_redact": q_pii_redact,
         "relative_recall": q_relative_recall,
         "merge_spans": q_merge_spans,
         "minhash_neardup": q_minhash_neardup,
@@ -1364,6 +1390,41 @@ def oracle_sql() -> dict[str, str]:
                    round((len(b.grams) - len(list_distinct(b.grams))) / greatest(len(b.grams), 1)::DOUBLE, 6) AS dup_3gram_ratio,
                    round(coalesce(t.topc, 0) / greatest(b.n, 1)::DOUBLE, 6) AS top_word_ratio
             FROM base b LEFT JOIN top t USING (doc_id)
+        """,
+        "pii_redact": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       text || ' contact u' || doc_id ||
+                       '@example.com ssn 123-45-6789 or +1 555 010 0199 host 10.0.0.' ||
+                       (doc_id % 255) AS t0
+                FROM documents
+            ),
+            s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                       regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+                FROM planted
+            ),
+            s2 AS (
+                SELECT doc_id, n_email,
+                       len(regexp_extract_all(t1, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+                       regexp_replace(t1, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t2
+                FROM s1
+            ),
+            s3 AS (
+                SELECT doc_id, n_email, n_ssn,
+                       len(regexp_extract_all(t2, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+                       regexp_replace(t2, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t3
+                FROM s2
+            ),
+            s4 AS (
+                SELECT doc_id, n_email, n_ssn, n_ipv4,
+                       len(regexp_extract_all(t3, '\+?\d[\d\-\s()]{7,}\d')) AS n_phone,
+                       regexp_replace(t3, '\+?\d[\d\-\s()]{7,}\d', '<PHONE>', 'g') AS t4
+                FROM s3
+            )
+            SELECT doc_id, n_email, n_ssn, n_ipv4, n_phone, md5(t4) AS redacted_md5
+            FROM s4
         """,
         "word_pagerank": f"""
             WITH wp AS (

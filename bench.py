@@ -34,6 +34,8 @@ HEADLINE = [
     "ann_bruteforce",
     "lang_quality",
     "fingerprint",
+    "repetition_stats",
+    "decontaminate",
     "sessionize",
     "kg_pipeline_triples",
 ]

@@ -337,6 +337,35 @@ def embedding_neardup_pairs(
     )
 
 
+def neardup_keep(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Consolidate near-dup pairs into keep/drop decisions: connected
+    components over the (a, b) pair graph (label propagation, no driver
+    loop over rows), keep the min-id representative per component.
+
+    Returns (doc_id, keep boolean, rep = representative doc_id). Docs in
+    no pair keep themselves. This is the step after any of the pair
+    producers (minhash / simhash / ngram-jaccard / embedding): pairs →
+    clusters → one survivor each, the standard corpus-dedup shape.
+    """
+    from .clustering import connected_components
+
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(edges)  # (vec_id, component)
+    rep = comp.groupBy("component").agg(F.min("vec_id").alias("rep"))
+    decided = comp.join(rep, "component").select(
+        F.col("vec_id").alias(id_col), "rep"
+    )
+    return (
+        docs.select(id_col)
+        .join(decided, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("rep"), F.col(id_col)).alias("rep"),
+            (F.coalesce(F.col("rep"), F.col(id_col)) == F.col(id_col)).alias("keep"),
+        )
+    )
+
+
 def contamination_flags(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -156,6 +156,33 @@ def repetition_signals(col):
     )
 
 
+PII_PATTERNS = [
+    # applied in order; counts are taken on the progressively redacted
+    # text so an SSN is never double-counted by the phone rule
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\-\s()]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(col):
+    """Training-corpus PII scrub (C4-style): emails, SSNs, IPv4 addresses
+    and long digit runs (phones) replaced with typed placeholders. Pure
+    Column regexp ops — whole-stage codegen, no UDF.
+
+    Returns struct(n_email, n_ssn, n_ipv4, n_phone, redacted). Rules are
+    ordered and each count is taken after the previous rule's replacement,
+    so overlapping patterns resolve deterministically.
+    """
+    redacted = col
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(redacted, F.lit(pat)).alias(f"n_{name}"))
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return F.struct(*counts, redacted.alias("redacted"))
+
+
 def make_html_unescape():
     """html.unescape as a scalar-iterator pandas_udf (reference terms.py:80,
     corpus.py:539 call it per doc; no native Spark equivalent)."""

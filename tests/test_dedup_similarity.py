@@ -208,3 +208,16 @@ def test_contamination_flags_inverted_index(spark):
     assert out[1][0] >= 2 and out[1][1] == 1
     assert out[3] == (1, 1)
     assert 2 not in out  # clean doc unflagged
+
+
+def test_neardup_keep_connected_components(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    # pairs: {1,2,3} via 1-2, 2-3; {4,5}; 6 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "a long, b long"
+    )
+    out = {r["doc_id"]: (r["rep"], r["keep"]) for r in
+           dedup.neardup_keep(docs, pairs).collect()}
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[4] == (4, True) and out[5] == (4, False)
+    assert out[6] == (6, True)  # untouched doc keeps itself

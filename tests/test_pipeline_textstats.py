@@ -170,3 +170,17 @@ def test_repetition_signals_values(spark):
     assert out[2]["dup_word_ratio"] == 0.0
     assert abs(out[2]["top_word_ratio"] - 1 / 6) < 1e-9
     assert out[3]["n_words"] == 0 and out[3]["top_word_ratio"] == 0.0
+
+
+def test_redact_pii_counts_and_placeholders(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.io and c@y.org, ssn 123-45-6789, ip 10.1.2.3, call +44 20 7946 0958 now")],
+        "doc_id long, text string",
+    )
+    r = textstats.redact_pii(F.col("text"))
+    row = df.select(r.alias("r")).select("r.*").collect()[0]
+    assert row["n_email"] == 2 and row["n_ssn"] == 1
+    assert row["n_ipv4"] == 1 and row["n_phone"] == 1
+    red = row["redacted"]
+    assert "<EMAIL>" in red and "<SSN>" in red and "<IP>" in red and "<PHONE>" in red
+    assert "a.b@x.io" not in red and "123-45-6789" not in red
