@@ -610,6 +610,11 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming radius 8 (h+1 = 9 bands -> full
+    recall at radius h by pigeonhole). No SQL oracle: the 64-bit simhash
+    is built from per-token xxhash64 bit votes, which DuckDB cannot
+    reproduce; correctness is covered by pytest planted-pair tests
+    (Hamming 5/8) and the band-recall contract test."""
     from kargo_spark.dedup import simhash_pairs
 
     d = _docs(spark, sf_dir)
@@ -617,6 +622,10 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked cosine near-dup (the scale path). Probabilistic
+    blocking -> no equality oracle; its exact counterpart
+    ``embedding_neardup_exact`` IS oracle-checked, and the recall of this
+    path against it is pytest-audited."""
     from kargo_spark.dedup import embedding_neardup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")

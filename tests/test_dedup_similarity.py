@@ -221,3 +221,27 @@ def test_neardup_keep_connected_components(spark):
     assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
     assert out[4] == (4, True) and out[5] == (4, False)
     assert out[6] == (6, True)  # untouched doc keeps itself
+
+
+def test_embedding_neardup_lsh_recall_vs_exact(spark):
+    """LSH path recall audit vs the exact-pairs baseline on clustered
+    vectors: every exact pair at a high threshold should be recovered by
+    the 2-table blocking (high-cos pairs agree on most hyperplanes)."""
+    rng = np.random.RandomState(7)
+    base = rng.randn(12, 16)
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(3):  # 3 jittered copies per center -> near-dup pairs
+            v = b + rng.randn(16) * 0.05
+            rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+            vid += 1
+    vdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r["a"], r["b"]) for r in
+             dedup.embedding_pairs_exact(vdf, threshold=0.99).collect()}
+    lsh = {(r["a"], r["b"]) for r in
+           dedup.embedding_neardup_pairs(vdf, threshold=0.99, n_planes=8, dim=16).collect()}
+    assert exact, "fixture must produce near-dup pairs"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9
+    assert lsh <= exact  # verify step is exact cosine: no false positives
