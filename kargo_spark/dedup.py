@@ -374,6 +374,7 @@ def contamination_flags(
     id_col: str = "doc_id",
     bench_text_col: str = "text",
     bench_id_col: str = "bench_id",
+    hashed: bool = False,
 ) -> DataFrame:
     """Training-set decontamination: flag corpus documents that share any
     word ``n``-gram with a benchmark / eval corpus — the n-gram-overlap
@@ -388,15 +389,24 @@ def contamination_flags(
 
     Returns (doc_id, n_hits = #distinct overlapping shingles,
     n_bench = #distinct benchmark docs hit).
+
+    ``hashed=True`` joins on ``xxhash64(shingle)`` instead of the shingle
+    string — 8-byte probe keys instead of ~50-byte strings, the right
+    trade at 100-TB corpus scale (a 2^-64 collision merely over-flags a
+    doc). Keep ``hashed=False`` where bit-exact SQL parity matters.
     """
-    d = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("s"),
+
+    def _sh(df, out_id, in_id, in_text):
+        e = df.select(
+            F.col(in_id).alias(out_id),
+            F.explode(shingles(F.col(in_text), n)).alias("s"),
+        )
+        return e.withColumn("s", F.xxhash64("s")) if hashed else e
+
+    d = _sh(docs, "doc_id", id_col, text_col)
+    b = _sh(benchmark, "bench_id", bench_id_col, bench_text_col).dropDuplicates(
+        ["bench_id", "s"]
     )
-    b = benchmark.select(
-        F.col(bench_id_col).alias("bench_id"),
-        F.explode(shingles(F.col(bench_text_col), n)).alias("s"),
-    ).dropDuplicates(["bench_id", "s"])
     return (
         d.join(F.broadcast(b), "s")
         .groupBy("doc_id")

@@ -245,3 +245,20 @@ def test_embedding_neardup_lsh_recall_vs_exact(spark):
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.9
     assert lsh <= exact  # verify step is exact cosine: no false positives
+
+
+def test_contamination_flags_hashed_equals_string_path(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "totally unrelated text about cargo rates and airlines"),
+         (3, "quick brown fox jumps high above everything else")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps over a fence")],
+        "bench_id long, text string",
+    )
+    a = sorted(tuple(r) for r in dedup.contamination_flags(corpus, bench, n=4).collect())
+    b = sorted(tuple(r) for r in
+               dedup.contamination_flags(corpus, bench, n=4, hashed=True).collect())
+    assert a == b
