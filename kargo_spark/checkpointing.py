@@ -116,9 +116,13 @@ class CheckpointRunner:
             return self._run_stage_snapshot(name, fn)
         t0 = time.time()
         if self.root is None:
+            # in-memory mode: persist WITHOUT a count action. A count per
+            # stage = one serialized job wave each (9 waves for the
+            # triples-only DAG); lazy persists let the caller's single
+            # terminal action materialize the whole chain in one DAG while
+            # still caching every shared node. rows=-1 marks "not counted".
             df = fn().persist()
-            rows = df.count()
-            self.results.append(StageResult(name, "<memory>", rows, time.time() - t0, False))
+            self.results.append(StageResult(name, "<memory>", -1, time.time() - t0, False))
             return df
         path = self._dir(name)
         if self.resume and self.is_done(name):
