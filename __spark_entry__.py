@@ -644,6 +644,29 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb.filter(F.col("vec_id") >= 5), queries, k=5)
 
 
+def q_terms_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms CSV sink shape (terms.py:26-34): per-doc rank-ordered
+    '|'-joined top-5 tf-idf terms."""
+    from kargo_spark.weighting import terms_csv_shape
+
+    topk = q_tfidf_topk(spark, sf_dir).select(
+        "doc_id", "rank", F.col("word").alias("term")
+    )
+    return terms_csv_shape(topk)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-5 (rows-only: centroid seeding makes the probe
+    set sample-dependent; rank completeness is pytest-audited)."""
+    from kargo_spark.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb.filter(F.col("vec_id") >= 5), queries, k=5, n_centroids=8)
+
+
 def q_kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full kargo_spark KG pipeline (mapInPandas NLP + candidate mining +
     tf-idf + pairs + triples) over the documents table re-shaped to the
@@ -872,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
+        "terms_csv": q_terms_csv,
         "relative_recall": q_relative_recall,
         "merge_spans": q_merge_spans,
         "minhash_neardup": q_minhash_neardup,
@@ -880,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "embedrank": q_embedrank,
         "topic_rank": q_topic_rank,
@@ -1399,6 +1424,12 @@ def oracle_sql() -> dict[str, str]:
                    round((len(b.grams) - len(list_distinct(b.grams))) / greatest(len(b.grams), 1)::DOUBLE, 6) AS dup_3gram_ratio,
                    round(coalesce(t.topc, 0) / greatest(b.n, 1)::DOUBLE, 6) AS top_word_ratio
             FROM base b LEFT JOIN top t USING (doc_id)
+        """,
+        "terms_csv": f"""
+            WITH tfidf AS ({tfidf})
+            SELECT doc_id AS document_id,
+                   string_agg(word, '|' ORDER BY rank) AS terms
+            FROM tfidf GROUP BY doc_id
         """,
         "pii_redact": r"""
             WITH planted AS (
