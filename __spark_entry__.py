@@ -7,8 +7,10 @@ operator from SURVEY.md §2 (+ the training-data-pipeline ops);
 SQL-expressible query (same column names, floats rounded identically on
 both sides so the driver's order-insensitive value hash matches).
 
-Queries without an oracle entry (per-doc graph rankers, YAKE, DBSCAN,
-MinHash/SimHash LSH, multimodal features) get the driver's rows-only check.
+Queries without an oracle entry (per-doc graph rankers, LDA, the
+probabilistic LSH paths, the full mapInPandas KG pipeline) get the
+driver's rows-only check; each of their docstrings states why no SQL
+oracle can exist and which pytest covers them instead.
 """
 
 from __future__ import annotations
