@@ -398,6 +398,14 @@ def q_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes
 
 
+def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop reachability over the materialized triple store (the
+    downstream graph query the Iceberg graph tables serve)."""
+    from kargo_spark.graph_store import two_hop
+
+    return two_hop(q_triples_agg(spark, sf_dir))
+
+
 def q_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P@k (evaluation.py:44-52): preds = tf-idf top-5 words per doc, gold =
     words of length >= 8 occurring in the doc; cumulative correct / k,
@@ -885,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooc_pairs": q_cooc_pairs,
         "triples_agg": q_triples_agg,
         "graph_nodes": q_graph_nodes,
+        "graph_2hop": q_graph_2hop,
         "precision_at_k": q_precision_at_k,
         "lang_quality": q_lang_quality,
         "token_counts": q_token_counts,
@@ -1158,6 +1167,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT head AS subj, 'cooccurs_with' AS pred, tail AS obj,
                    count(*) AS support, count(DISTINCT doc_id) AS n_docs
             FROM pairs GROUP BY head, tail
+        """,
+        "graph_2hop": f"""
+            WITH pairs AS ({cooc}),
+            trip AS (
+                SELECT head AS subj, tail AS obj, count(*) AS support
+                FROM pairs GROUP BY head, tail
+            ),
+            t1 AS (SELECT subj AS src, obj AS mid, support AS s1 FROM trip),
+            t2 AS (SELECT subj AS mid, obj AS dst, support AS s2 FROM trip)
+            SELECT src, dst, count(DISTINCT mid) AS n_paths,
+                   sum(least(s1, s2))::BIGINT AS path_support
+            FROM t1 JOIN t2 USING (mid) WHERE src <> dst
+            GROUP BY src, dst
         """,
         "graph_nodes": f"""
             WITH pairs AS ({cooc}),

@@ -18,6 +18,41 @@ def node_id(col):
     return F.substring(F.md5(F.lower(col)), -12, 12)
 
 
+def two_hop(triples: DataFrame, max_mid_degree: int | None = None) -> DataFrame:
+    """2-hop reachability over the triple store — the downstream graph
+    query the materialized tables exist for. (src, dst) pairs connected
+    via some middle node, with n_paths = #distinct middles and
+    path_support = sum over paths of min(hop supports).
+
+    Scale: a self-join on the middle key — hub middles (top-degree terms)
+    square their row counts, so ``max_mid_degree`` optionally anti-joins
+    middles above a degree cutoff (same shape as the hot-shingle guard in
+    dedup.ngram_jaccard_pairs) before the join.
+    """
+    t1 = triples.select(
+        F.col("subj").alias("src"), F.col("obj").alias("mid"), F.col("support").alias("s1")
+    )
+    t2 = triples.select(
+        F.col("subj").alias("mid"), F.col("obj").alias("dst"), F.col("support").alias("s2")
+    )
+    if max_mid_degree is not None:
+        hot = (
+            t2.groupBy("mid").agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") > max_mid_degree)
+        )
+        t1 = t1.join(hot, "mid", "left_anti")
+        t2 = t2.join(hot, "mid", "left_anti")
+    return (
+        t1.join(t2, "mid")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(
+            F.countDistinct("mid").alias("n_paths"),
+            F.sum(F.least("s1", "s2")).alias("path_support"),
+        )
+    )
+
+
 def graph_tables(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(subj, pred, obj, support) -> (nodes, edges).
 

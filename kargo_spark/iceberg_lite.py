@@ -107,6 +107,14 @@ class IcebergLiteTable:
         os.makedirs(self.meta_dir, exist_ok=True)
         prev = self._metadata()
         parent_id = prev["current_snapshot_id"] if prev else None
+        if operation == "append" and parent_id is not None:
+            # Iceberg appends never silently change the table schema
+            parent_schema = self._snapshot(parent_id)["summary"]["schema"]
+            if df.schema.simpleString() != parent_schema:
+                raise ValueError(
+                    f"append schema mismatch for {self.root}: table has "
+                    f"{parent_schema}, append brings {df.schema.simpleString()}"
+                )
         snapshot_id = (parent_id or 0) + 1
         version = (self.current_version() or 0) + 1
 

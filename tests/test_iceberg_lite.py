@@ -108,3 +108,34 @@ def test_pipeline_snapshot_checkpoints_resume(spark, tmp_path):
     m2 = {r["stage"]: r["resumed"] for r in out2["metrics"].collect()}
     assert all(m2.values())
     assert out2["triples"].count() == n1
+
+
+def test_append_schema_mismatch_rejected(spark, tmp_path):
+    import pytest as _pytest
+
+    t = IcebergLiteTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5))
+    bad = spark.range(3).select(F.col("id"), F.lit("x").alias("other"))
+    with _pytest.raises(ValueError, match="append schema mismatch"):
+        t.commit(bad, operation="append")
+    t.commit(bad)  # overwrite may evolve the schema
+    assert t.read().columns == ["id", "other"]
+
+
+def test_two_hop_paths_and_hub_cutoff(spark):
+    from kargo_spark.graph_store import two_hop
+
+    triples = spark.createDataFrame(
+        [("a", "p", "hub", 5), ("b", "p", "hub", 2), ("hub", "p", "c", 3),
+         ("hub", "p", "d", 1), ("a", "p", "e", 9), ("e", "p", "f", 4)],
+        "subj string, pred string, obj string, support long",
+    )
+    out = {(r["src"], r["dst"]): (r["n_paths"], r["path_support"])
+           for r in two_hop(triples).collect()}
+    assert out[("a", "c")] == (1, 3)       # a->hub->c, min(5,3)
+    assert out[("a", "f")] == (1, 4)       # a->e->f, min(9,4)
+    assert out[("b", "d")] == (1, 1)
+    # hub has out-degree 2: cutoff at 1 removes all hub-mediated paths
+    pruned = {(r["src"], r["dst"]) for r in
+              two_hop(triples, max_mid_degree=1).collect()}
+    assert ("a", "c") not in pruned and ("a", "f") in pruned
