@@ -187,26 +187,12 @@ def run_jvm_calibration() -> dict:
 
 
 def _lazy_triples(spark, docs):
-    """The composed triple-extraction chain with persists only at nodes
-    consumed by more than one downstream op (tokens, candidates). No
-    per-stage barriers — Catalyst pipelines everything else, so the
-    measurement is the real multi-stage throughput."""
-    from kargo_spark import candidates as C
-    from kargo_spark import corpus, nlp, relations, weighting
-    from kargo_spark.skew import size_bucketed
+    """One-DAG triple chain (kargo_spark.pipeline.triples_chain): the
+    measurement is real multi-stage throughput, not per-stage barriers."""
+    from kargo_spark.pipeline import triples_chain
 
-    dc = corpus.docs_clean(docs)
-    tokens = nlp.tokenize(size_bucketed(dc, "content"))
-    # sentences (not tokens) is the shared node: candidates and pairs both
-    # consume the grouped form — persisting it saves one full regroup shuffle
-    sentences = nlp.sentences_with_tokens(tokens).persist()
-    cands = C.filter_candidates(C.mine_candidates(sentences)).persist()
-    df_tab, n_docs = weighting.document_frequency(cands)
-    scores = weighting.tfidf_scores(cands, df_tab, n_docs)
-    topk = weighting.top_k_terms(scores, k=15)
-    ments = relations.mentions(cands, topk)
-    prs = relations.pairs(ments, sentences)
-    return relations.triples_from_pairs(prs)
+    triples, _cached = triples_chain(docs)
+    return triples
 
 
 def run_pipeline_throughput() -> dict:

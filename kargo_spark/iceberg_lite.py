@@ -100,9 +100,16 @@ class IcebergLiteTable:
             .collect()
         }
 
-    def commit(self, df: DataFrame, operation: str = "overwrite") -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        operation: str = "overwrite",
+        summary_extra: dict | None = None,
+    ) -> int:
         """Write a new snapshot and atomically make it current. Returns the
-        snapshot id. ``append`` inherits the parent's data directories."""
+        snapshot id. ``append`` inherits the parent's data directories.
+        ``summary_extra`` lands in the snapshot summary — e.g. a streaming
+        batch id, which makes foreachBatch replays idempotent."""
         assert operation in ("append", "overwrite")
         os.makedirs(self.meta_dir, exist_ok=True)
         prev = self._metadata()
@@ -134,6 +141,7 @@ class IcebergLiteTable:
                 "added_rows": sum(pcounts.values()),
                 "added_partitions": pcounts,
                 "schema": df.schema.simpleString(),
+                **(summary_extra or {}),
             },
         }
         meta = {

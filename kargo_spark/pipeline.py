@@ -43,6 +43,29 @@ def rank_scores(ranker: str, tokens: DataFrame, cands: DataFrame,
     raise ValueError(f"unknown ranker {ranker!r}")
 
 
+def triples_chain(
+    documents: DataFrame, ranker: str = "tfidf", n_terms: int = 15
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The composed docs→triples chain as ONE lazy DAG — no checkpoints,
+    persists only at the two nodes consumed twice (sentences feeds both
+    candidates and pairs; candidates feeds df/scores/mentions). Used by
+    the throughput bench and the streaming micro-batch sink.
+
+    Returns (triples, cached); the caller unpersists ``cached`` after its
+    terminal action.
+    """
+    dc = corpus.docs_clean(documents)
+    tokens = nlp.tokenize(size_bucketed(dc, "content"))
+    sentences = nlp.sentences_with_tokens(tokens).persist()
+    cands = C.filter_candidates(C.mine_candidates(sentences)).persist()
+    df_tab, n_docs = weighting.document_frequency(cands)
+    scores = rank_scores(ranker, tokens, cands, df_tab, n_docs)
+    topk = weighting.top_k_terms(scores, k=n_terms)
+    ments = relations.mentions(cands, topk)
+    prs = relations.pairs(ments, sentences)
+    return relations.triples_from_pairs(prs), [sentences, cands]
+
+
 def run_pipeline(
     spark: SparkSession,
     documents: DataFrame,

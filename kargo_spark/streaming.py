@@ -131,3 +131,44 @@ def stateful_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_triples(docs_stream: DataFrame, table_root: str, checkpoint_dir: str,
+                      ranker: str = "tfidf", n_terms: int = 15):
+    """Continuous KG construction: each micro-batch of source documents
+    runs the docs→triples chain (pipeline.triples_chain) and APPENDS to an
+    Iceberg-lite snapshot table, tagging the snapshot with the streaming
+    batch id. On restart, Structured Streaming re-delivers the last
+    unacknowledged batch; a batch id already present in the table's
+    snapshot history is skipped — the standard foreachBatch +
+    transactional-table pattern for effectively-exactly-once sinks.
+
+    Returns the started StreamingQuery (availableNow trigger: drains all
+    pending input, then stops — call .awaitTermination()).
+    """
+    from .iceberg_lite import IcebergLiteTable
+    from .pipeline import triples_chain
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        tbl = IcebergLiteTable(batch_df.sparkSession, table_root)
+        committed = {
+            s["summary"].get("streaming_batch_id") for s in tbl.snapshots()
+        }
+        if batch_id in committed:
+            return  # replay after restart: already durable
+        triples, cached = triples_chain(batch_df, ranker=ranker, n_terms=n_terms)
+        tbl.commit(
+            triples,
+            operation="append" if tbl.exists() else "overwrite",
+            summary_extra={"streaming_batch_id": batch_id},
+        )
+        for df in cached:
+            df.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .queryName("streaming_triples")
+        .start()
+    )

@@ -105,3 +105,48 @@ def test_stateful_sessionize_state_spans_batches(spark, tmp_path):
     assert got[(1, 1)] == 2 and got[(1, 2)] == 2   # gap split two sessions
     assert got[(2, 1)] == 2                        # one session across batches
     assert (2, 2) not in got
+
+
+def test_streaming_triples_appends_idempotent_batches(spark, tmp_path):
+    """Micro-batches append to the Iceberg-lite triple table keyed by
+    batch id; a replayed batch id (fresh stream checkpoint over the same
+    files) is skipped, so rows never duplicate."""
+    from kargo_spark.iceberg_lite import IcebergLiteTable
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    docs = synth_documents(spark, n_rows=60)
+    schema = docs.schema
+    docs.filter(F.col("content").isNotNull()).limit(30).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "f0"))
+    docs.subtract(docs.limit(30)).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "f1"))
+
+    table_root = str(tmp_path / "triples_tbl")
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(str(src) + "/*")
+    )
+    q = S.streaming_triples(stream, table_root, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+
+    tbl = IcebergLiteTable(spark, table_root)
+    snaps = tbl.snapshots()
+    batch_ids = [s["summary"]["streaming_batch_id"] for s in snaps]
+    assert len(snaps) >= 2 and len(set(batch_ids)) == len(batch_ids)
+    assert snaps[0]["operation"] == "overwrite"
+    assert all(s["operation"] == "append" for s in snaps[1:])
+    total = tbl.read().count()
+    assert total == sum(s["summary"]["added_rows"] for s in snaps)
+    assert total > 0
+
+    # replay: fresh stream checkpoint re-delivers the same batch ids over
+    # the same files -> every one is skipped, the table is unchanged
+    stream2 = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(str(src) + "/*")
+    )
+    q2 = S.streaming_triples(stream2, table_root, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    assert len(IcebergLiteTable(spark, table_root).snapshots()) == len(snaps)
+    assert IcebergLiteTable(spark, table_root).read().count() == total
