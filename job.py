@@ -28,7 +28,9 @@ def main() -> None:
                     choices=["tfidf", "kpminer", "yake", "singlerank", "positionrank"])
     ap.add_argument("--n-terms", type=int, default=15)
     ap.add_argument("--cluster-relations", action="store_true")
-    ap.add_argument("--scalable-clustering", action="store_true")
+    # default None lets run_pipeline auto-switch exact->scalable by input
+    # size; the flag forces the scalable path
+    ap.add_argument("--scalable-clustering", action="store_true", default=None)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--use-snapshots", action="store_true",
                     help="stage checkpoints as Iceberg-lite snapshot tables")

@@ -224,18 +224,23 @@ def simhash_pairs_from_hashes(
     """
     n_bands = min(64, max_hamming + 1)
     bounds = [64 * i // n_bands for i in range(n_bands + 1)]
+
+    def _band_key(b: int):
+        width = bounds[b + 1] - bounds[b]
+        key = F.shiftright("sim", bounds[b])
+        if width < 64:
+            # width 64 (max_hamming=0, one band) needs no mask — and
+            # (1 << 64) - 1 would overflow a LongType literal anyway
+            key = key.bitwiseAND(F.lit((1 << width) - 1))
+        return key
+
     sh = hashed.select(F.col(id_col).alias("id"), F.col(sim_col).alias("sim"))
     banded = sh.select(
         "id", "sim",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("sim", bounds[b])
-                        .bitwiseAND(F.lit((1 << (bounds[b + 1] - bounds[b])) - 1))
-                        .alias("key"),
-                    )
+                    F.struct(F.lit(b).alias("band"), _band_key(b).alias("key"))
                     for b in range(n_bands)
                 ]
             )

@@ -114,6 +114,10 @@ class IcebergLiteTable:
         os.makedirs(self.meta_dir, exist_ok=True)
         prev = self._metadata()
         parent_id = prev["current_snapshot_id"] if prev else None
+        # new id = max over history, NOT parent+1: after rollback(1) the
+        # parent is 1 but snapshot 2 still exists — parent+1 would reuse
+        # id 2 and overwrite its data directory, destroying history
+        max_id = max((s["snapshot_id"] for s in (prev or {}).get("snapshots", [])), default=0)
         if operation == "append" and parent_id is not None:
             # Iceberg appends never silently change the table schema
             parent_schema = self._snapshot(parent_id)["summary"]["schema"]
@@ -122,7 +126,7 @@ class IcebergLiteTable:
                     f"append schema mismatch for {self.root}: table has "
                     f"{parent_schema}, append brings {df.schema.simpleString()}"
                 )
-        snapshot_id = (parent_id or 0) + 1
+        snapshot_id = max_id + 1
         version = (self.current_version() or 0) + 1
 
         data_dir = os.path.join(self.root, "data", f"snap-{snapshot_id}")

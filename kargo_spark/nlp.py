@@ -116,7 +116,9 @@ _GPE = {
 _PERSON_TITLE = {"mr", "mrs", "ms", "dr", "sir", "madam", "prof"}
 _YEAR = re.compile(r"(19|20)\d\d")
 # abbreviations whose trailing period must not end a sentence
-_ABBREV = _PERSON_TITLE | {"inc", "ltd", "corp", "co", "st", "vs", "no"}
+# 'no' is NOT treated as an abbreviation: sentence-final "no." is far more
+# common in prose than the numero abbreviation "No. 5"
+_ABBREV = _PERSON_TITLE | {"inc", "ltd", "corp", "co", "st", "vs"}
 
 
 def _ner_sentence(words: list[str], tags: list[str]) -> list[str]:

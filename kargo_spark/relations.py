@@ -233,20 +233,32 @@ def _doc_reference_pairs(
                 if lwords[i : i + len(tw)] == tw:
                     spans.append(list(range(i, i + len(tw))))
                     break
-        # named entities (BIOES), excluded types skipped entirely
+        # named entities — handles BIOES (reference CoreNLP corpora) AND
+        # plain BIO (the engine's own nlp heuristic tagger, which has no
+        # E/S tags): a span closes on E/S, on any non-continuation tag
+        # (O / new B / excluded type), or at sentence end; ``ent`` is
+        # reset after every flush so later tags cannot mutate an
+        # already-appended span
         if include_ne:
             ent: list[int] = []
-            n = len(words)
             for k, ner in enumerate(ners):
-                if ner.split("-")[-1] in exclude_ne:
-                    continue
-                if ner[0] in ("B", "S"):
-                    ent = [k]
-                elif ner[0] in ("I", "E"):
+                tag = ner[0]
+                excluded = ner.split("-")[-1] in exclude_ne
+                if not excluded and tag in ("I", "E") and ent:
                     ent.append(k)
-                if ner[0] in ("E", "S") or (ner[0] in ("B", "I") and k == n - 1):
-                    if ent:
+                    if tag == "E":
                         spans.append(ent)
+                        ent = []
+                    continue
+                if ent:
+                    spans.append(ent)
+                    ent = []
+                if not excluded and tag == "S":
+                    spans.append([k])
+                elif not excluded and tag in ("B", "I"):
+                    ent = [k]
+            if ent:
+                spans.append(ent)
         # overlap reduction, first-wins (empty spans guarded away)
         uniq: list[list[int]] = []
         for e in spans:
@@ -399,11 +411,17 @@ def pattern_edges(
     JVM ``levenshtein`` char ratio on the pattern string — same family,
     zero Python in the verify).
 
-    Scale shape: inverted-index blocking on shared tokens (a pair with
-    edit ratio <= 0.325 must share most of its words; a pair sharing no
-    token cannot be near) with a hot-token cutoff so stop-word blocks
-    cannot go quadratic; empty patterns block together under a sentinel
-    key. Exact levenshtein verify runs only on blocked candidates.
+    Scale shape: inverted-index blocking with a hot-key cutoff so
+    stop-word blocks cannot go quadratic; empty patterns block together
+    under a sentinel key; exact levenshtein verify runs only on blocked
+    candidates. Block keys are shared TOKENS, plus char-2-grams for
+    short (<= 2-token) patterns: single-word pairs like 'ships'/'shops'
+    share no token yet sit within eps, but any pair within edit ratio
+    0.35 over strings of length >= 3 must share a char 2-gram
+    (<= 2·eps·maxlen of the maxlen-1 2-grams are disturbed). Residual
+    approximation vs the reference's full O(n²) distance matrix: pairs
+    whose only shared keys exceed the hot cutoff are dropped — the same
+    documented trade as every LSH path here.
     Returns (src, dst, dist), src < dst.
     """
     p = patterns.select(
@@ -411,14 +429,17 @@ def pattern_edges(
         F.coalesce(F.col(text_col), F.lit("")).alias("txt"),
     )
     toks = F.filter(F.split(F.lower(F.col("txt")), r"[^a-z0-9]+"), lambda t: t != "")
-    keyed = p.select(
-        "id", "txt",
-        F.explode(
-            F.when(F.size(toks) == 0, F.array(F.lit("::empty::"))).otherwise(
-                F.array_distinct(toks)
-            )
-        ).alias("k"),
+    grams2 = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("txt") - 1, F.lit(1))),
+        lambda i: F.concat(F.lit("::2g::"), F.lower("txt").substr(i, F.lit(2))),
     )
+    keys = F.when(F.size(toks) == 0, F.array(F.lit("::empty::"))).otherwise(
+        F.when(
+            F.size(toks) <= 2,
+            F.array_union(F.array_distinct(toks), F.array_distinct(grams2)),
+        ).otherwise(F.array_distinct(toks))
+    )
+    keyed = p.select("id", "txt", F.explode(keys).alias("k"))
     hot = (
         keyed.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
         .filter((F.col("df") > hot_token_df) & (F.col("k") != "::empty::"))
@@ -456,6 +477,11 @@ def pattern_clusters(
         pairs_with_context, eps=eps, id_col=id_col, text_col=text_col
     ).persist()
     ids = pairs_with_context.select(F.col(id_col).alias("vec_id"))
-    return dbscan_from_edges(ids, edges, min_samples).withColumnRenamed(
+    # materialize before releasing the edge cache: the result is one row
+    # per pair_id (bounded), and an un-unpersisted edge block table would
+    # leak executor storage across sweep/pipeline invocations
+    out = dbscan_from_edges(ids, edges, min_samples).localCheckpoint(eager=True)
+    edges.unpersist()
+    return out.withColumnRenamed(
         "vec_id", id_col
     ).withColumnRenamed("cluster", "cluster")

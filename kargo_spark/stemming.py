@@ -162,8 +162,11 @@ def make_stemmer_udf():
                 for t in toks:
                     h = memo.get(t)
                     if h is None:
+                        # do NOT memo[h] = h: Porter is not idempotent
+                        # (stem('callousness')='callous' but
+                        # stem('callous')='callou'), so seeding the memo
+                        # with stems would make results order-dependent
                         h = porter_stem(t)
-                        memo[h] = h
                         memo[t] = h
                     out.append(h)
                 return out

@@ -100,9 +100,14 @@ def stateful_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
         else:
             last_epoch, session_id, n_events, start_epoch = -10**18, 0, 0, None
         touched = {}
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("ts")
-            for ts in pdf["ts"].values:
+        # a group larger than the Arrow batch size arrives as MULTIPLE
+        # chunks in arbitrary order — sorting each chunk independently
+        # would process events out of order across chunk boundaries
+        # (negative gaps, inverted session start/end); gather, then sort
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            allpdf = pd.concat(chunks).sort_values("ts")
+            for ts in allpdf["ts"].values:
                 epoch = int(pd.Timestamp(ts).value // 10**9)
                 if epoch - last_epoch > gap_seconds:
                     session_id += 1  # sessions are 1-based per user

@@ -262,3 +262,16 @@ def test_contamination_flags_hashed_equals_string_path(spark):
     b = sorted(tuple(r) for r in
                dedup.contamination_flags(corpus, bench, n=4, hashed=True).collect())
     assert a == b
+
+
+def test_simhash_pairs_radius_zero(spark):
+    """max_hamming=0 (exact simhash equality) must not overflow the
+    64-bit band mask literal (code-review finding)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "something else entirely here")],
+        "doc_id long, text string",
+    )
+    got = {(r["a"], r["b"]) for r in
+           dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=0).collect()}
+    assert got == {(1, 2)}

@@ -139,3 +139,19 @@ def test_two_hop_paths_and_hub_cutoff(spark):
     pruned = {(r["src"], r["dst"]) for r in
               two_hop(triples, max_mid_degree=1).collect()}
     assert ("a", "c") not in pruned and ("a", "f") in pruned
+
+
+def test_commit_after_rollback_never_reuses_snapshot_ids(spark, tmp_path):
+    """Code-review finding: snapshot ids were parent+1, so committing
+    after rollback(1) reused id 2 and clobbered snapshot 2's data dir."""
+    t = IcebergLiteTable(spark, str(tmp_path / "t"))
+    s1 = t.commit(_df(spark, 0, 10))
+    s2 = t.commit(_df(spark, 0, 3))
+    t.rollback(s1)
+    s3 = t.commit(_df(spark, 0, 7))
+    assert s3 not in (s1, s2)
+    ids = [s["snapshot_id"] for s in t.snapshots()]
+    assert len(ids) == len(set(ids))
+    # snapshot 2's data survives: time travel still returns its 3 rows
+    assert t.read(snapshot_id=s2).count() == 3
+    assert t.read().count() == 7

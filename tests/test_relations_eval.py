@@ -271,3 +271,39 @@ def test_full_relation_pipeline_on_reference_dev(spark):
     assert voted > 1000            # the dev labels key onto our pairs
     assert out.filter(F.col("cluster_label") == 1).count() > 0
     assert out.filter(F.col("cluster") >= 0).count() > 0   # real clusters form
+
+
+def test_pattern_edges_finds_tokenless_near_pair(spark):
+    """'ships' vs 'shops': edit ratio 1/5 = 0.2 <= eps but zero shared
+    tokens — the char-2-gram block keys for short patterns must surface
+    the pair (code-review finding: token-only blocking silently missed it)."""
+    from kargo_spark.relations import pattern_edges
+
+    p = spark.createDataFrame(
+        [(1, "ships"), (2, "shops"), (3, "completely different words here")],
+        "pair_id long, in_between_words string",
+    )
+    got = {(r["src"], r["dst"]): r["dist"] for r in pattern_edges(p, eps=0.325).collect()}
+    assert (1, 2) in got and abs(got[(1, 2)] - 0.2) < 1e-9
+
+
+def test_reference_pairs_bio_entity_spans(spark):
+    """Plain-BIO NER (the engine's own tagger: no E/S tags) must still
+    yield entity spans — a B-I run closed by O or sentence end."""
+    from kargo_spark.relations import reference_pairs
+
+    words = ["Lufthansa", "Cargo", "moved", "goods", "to", "Berlin"]
+    ners = ["B-ORG", "I-ORG", "O", "O", "O", "B-GPE"]
+    rows, pos = [], 0
+    for i, w in enumerate(words):
+        rows.append(("d", 0, i + 1, w, pos, pos + len(w), ners[i]))
+        pos += len(w) + 1
+    toks = spark.createDataFrame(
+        rows,
+        "doc_id string, sentence_id long, token_id long, word string, "
+        "offset_begin long, offset_end long, ner string",
+    ).withColumn("text", F.lit(" ".join(words)))
+    terms = spark.createDataFrame([], "doc_id string, rank long, term string")
+    out = reference_pairs(toks, terms, include_ne=True)
+    heads_tails = {(r["head"], r["tail"]) for r in out.collect()}
+    assert ("lufthansa cargo", "berlin") in heads_tails

@@ -38,3 +38,18 @@ def test_stemmer_udf_in_topics_pipeline(spark):
     )
     out = df.select(make_stemmer_udf()(F.col("toks")).alias("s")).collect()[0]["s"]
     assert out == ["connect", "connect", "ship", "shipment"]
+
+
+def test_stemmer_udf_memo_is_order_independent(spark):
+    """Porter is not idempotent (callousness->callous, callous->callou);
+    the memo must never seed stems as their own fixed points."""
+    from kargo_spark.stemming import make_stemmer_udf, porter_stem
+
+    udf = make_stemmer_udf()
+    df = spark.createDataFrame(
+        [(1, ["callousness", "callous"]), (2, ["callous", "callousness"])],
+        "id long, toks array<string>",
+    ).coalesce(1)
+    out = {r["id"]: r["st"] for r in df.select("id", udf("toks").alias("st")).collect()}
+    assert out[1] == out[2][::-1]
+    assert out[1] == [porter_stem("callousness"), porter_stem("callous")]
