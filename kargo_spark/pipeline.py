@@ -58,6 +58,11 @@ def triples_chain(
     tokens = nlp.tokenize(size_bucketed(dc, "content"))
     sentences = nlp.sentences_with_tokens(tokens).persist()
     cands = C.filter_candidates(C.mine_candidates(sentences)).persist()
+    # document_frequency's scalar collect is deliberate: it materializes
+    # the cands cache BEFORE the broadcast-subquery jobs fire. A fully
+    # lazy N (1-row broadcast DF) makes the df_tab and N broadcast jobs
+    # race to recompute the whole uncached tokenize chain concurrently —
+    # measured 8x slower, not faster.
     df_tab, n_docs = weighting.document_frequency(cands)
     scores = rank_scores(ranker, tokens, cands, df_tab, n_docs)
     topk = weighting.top_k_terms(scores, k=n_terms)
