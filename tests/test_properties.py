@@ -65,3 +65,64 @@ def test_simhash_identical_docs_hamming_zero(spark_global, texts_list):
     df = spark_global.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["s"] for r in df.select("doc_id", simhash64(F.col("text")).alias("s")).collect()}
     assert out[0] == out[100]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(alphabet=st.sampled_from(list("ab c.d's")), max_size=40),
+                min_size=1, max_size=6))
+def test_repetition_signals_bounds(spark_global, docs):
+    """Ratios always in [0, 1]; dup_word_ratio matches the naive oracle."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from kargo_spark.textstats import repetition_signals
+
+    df = spark_global.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    r = repetition_signals(F.col("text"))
+    rows = df.select("doc_id", r.alias("r")).select("doc_id", "r.*").collect()
+    for row in rows:
+        toks = [t for t in re.split(r"[^a-z0-9']+", docs[row["doc_id"]].lower()) if t]
+        assert row["n_words"] == len(toks)
+        for c in ("dup_word_ratio", "dup_3gram_ratio", "top_word_ratio"):
+            assert 0.0 <= row[c] <= 1.0
+        if toks:
+            naive_dup = (len(toks) - len(set(toks))) / len(toks)
+            assert abs(row["dup_word_ratio"] - naive_dup) < 1e-9
+            from collections import Counter
+            assert abs(row["top_word_ratio"] - Counter(toks).most_common(1)[0][1] / len(toks)) < 1e-9
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 20), st.integers(1, 20)).filter(lambda p: p[0] != p[1]),
+                max_size=15))
+def test_neardup_keep_is_a_valid_partition(spark_global, raw_pairs):
+    """Every doc gets exactly one rep; reps keep themselves; a doc's rep
+    is the min id of its connected component (naive union-find oracle)."""
+    from kargo_spark import dedup
+
+    ids = list(range(1, 21))
+    docs = spark_global.createDataFrame([(i,) for i in ids], "doc_id long")
+    pairs = spark_global.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in raw_pairs] or [(1, 1)],
+        "a long, b long",
+    ).filter("a <> b")
+    out = {r["doc_id"]: (r["rep"], r["keep"]) for r in
+           dedup.neardup_keep(docs, pairs).collect()}
+    # naive union-find
+    parent = {i: i for i in ids}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in raw_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for i in ids:
+        rep, keep = out[i]
+        assert rep == find(i)
+        assert keep == (rep == i)
