@@ -241,7 +241,13 @@ def dbscan_from_edges(ids: DataFrame, pairs: DataFrame, min_samples: int) -> Dat
         .agg(F.min_by("c", "dist").alias("cluster"))
     )
     all_labeled = core_labels.unionByName(border_near)
-    return (
+    out = (
         ids.join(all_labeled, "vec_id", "left")
         .select("vec_id", F.coalesce("cluster", F.lit(-1)).alias("cluster"))
     )
+    # the result is one bounded row per point: materialize it so the core
+    # cache (and the caller's edge cache) can be released immediately —
+    # otherwise every sweep/pipeline invocation leaks a persisted block
+    out = out.localCheckpoint(eager=True)
+    core.unpersist()
+    return out

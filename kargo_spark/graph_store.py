@@ -29,10 +29,15 @@ def two_hop(triples: DataFrame, max_mid_degree: int | None = None) -> DataFrame:
     middles above a degree cutoff (same shape as the hot-shingle guard in
     dedup.ngram_jaccard_pairs) before the join.
     """
-    t1 = triples.select(
+    # collapse parallel edges (multiple preds between the same node pair,
+    # e.g. the pipeline's rel_0/rel_1 clusters) BEFORE the join: without
+    # this, a single a→b→c path is counted once per pred combination and
+    # path_support inflates by the cross-product
+    hop = triples.groupBy("subj", "obj").agg(F.sum("support").alias("support"))
+    t1 = hop.select(
         F.col("subj").alias("src"), F.col("obj").alias("mid"), F.col("support").alias("s1")
     )
-    t2 = triples.select(
+    t2 = hop.select(
         F.col("subj").alias("mid"), F.col("obj").alias("dst"), F.col("support").alias("s2")
     )
     if max_mid_degree is not None:

@@ -418,10 +418,17 @@ def pattern_edges(
     short (<= 2-token) patterns: single-word pairs like 'ships'/'shops'
     share no token yet sit within eps, but any pair within edit ratio
     0.35 over strings of length >= 3 must share a char 2-gram
-    (<= 2·eps·maxlen of the maxlen-1 2-grams are disturbed). Residual
-    approximation vs the reference's full O(n²) distance matrix: pairs
-    whose only shared keys exceed the hot cutoff are dropped — the same
-    documented trade as every LSH path here.
+    (<= 2·eps·maxlen of the maxlen-1 2-grams are disturbed).
+
+    Residual approximation vs the reference's full O(n²) distance matrix
+    (stated precisely): (a) pairs whose only shared keys exceed the hot
+    cutoff are dropped — the same trade as every LSH path here; (b) a
+    3+-token pair can sit within eps while sharing no whole token (one
+    small edit inside EVERY word, e.g. 'aaaa bbbb cccc'/'aaab bbbc cccd')
+    — such pairs are missed; real in-between patterns within eps=0.325
+    almost always preserve at least one word verbatim, and closing this
+    would require 2-gram keys on all patterns, whose hot-gram blocks
+    defeat the cutoff anyway.
     Returns (src, dst, dist), src < dst.
     """
     p = patterns.select(
@@ -477,10 +484,9 @@ def pattern_clusters(
         pairs_with_context, eps=eps, id_col=id_col, text_col=text_col
     ).persist()
     ids = pairs_with_context.select(F.col(id_col).alias("vec_id"))
-    # materialize before releasing the edge cache: the result is one row
-    # per pair_id (bounded), and an un-unpersisted edge block table would
-    # leak executor storage across sweep/pipeline invocations
-    out = dbscan_from_edges(ids, edges, min_samples).localCheckpoint(eager=True)
+    # dbscan_from_edges eagerly checkpoints its bounded result, so the
+    # edge cache can be released as soon as it returns
+    out = dbscan_from_edges(ids, edges, min_samples)
     edges.unpersist()
     return out.withColumnRenamed(
         "vec_id", id_col

@@ -88,8 +88,9 @@ def stateful_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
     session touched by a batch (update mode; downstream sinks upsert).
 
     State per user = (last event epoch, open session ordinal, event count,
-    session start epoch). Arrow-batched; no per-row Python objects beyond
-    the group's own pandas frame.
+    session start epoch). Arrow-batched; per-group worker memory is 8
+    bytes per event (the int64 epoch array — chunks must be merged before
+    sorting for cross-chunk ordering), not the full row frames.
     """
     import pandas as pd
 
@@ -103,12 +104,21 @@ def stateful_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
         # a group larger than the Arrow batch size arrives as MULTIPLE
         # chunks in arbitrary order — sorting each chunk independently
         # would process events out of order across chunk boundaries
-        # (negative gaps, inverted session start/end); gather, then sort
-        chunks = [pdf for pdf in pdf_iter if len(pdf)]
-        if chunks:
-            allpdf = pd.concat(chunks).sort_values("ts")
-            for ts in allpdf["ts"].values:
-                epoch = int(pd.Timestamp(ts).value // 10**9)
+        # (negative gaps, inverted session start/end). Gather ONLY the
+        # int64 epochs (8 bytes/event, not full rows) and sort once: a
+        # 10^8-event hot user costs ~800 MB of ints, not a concat of
+        # whole pandas frames
+        import numpy as np
+
+        epoch_chunks = [
+            pdf["ts"].values.astype("datetime64[s]").astype("int64")
+            for pdf in pdf_iter
+            if len(pdf)
+        ]
+        if epoch_chunks:
+            epochs = np.sort(np.concatenate(epoch_chunks))
+            for epoch in epochs:
+                epoch = int(epoch)
                 if epoch - last_epoch > gap_seconds:
                     session_id += 1  # sessions are 1-based per user
                     n_events = 0
@@ -156,19 +166,31 @@ def streaming_triples(docs_stream: DataFrame, table_root: str, checkpoint_dir: s
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         tbl = IcebergLiteTable(batch_df.sparkSession, table_root)
+        # idempotency key = (checkpoint, batch id), NOT the bare batch id:
+        # a different query instance (fresh checkpoint, or a second stream
+        # feeding the same table) numbers its batches from 0 again with
+        # DIFFERENT data — only a replay of THIS query may be skipped
         committed = {
-            s["summary"].get("streaming_batch_id") for s in tbl.snapshots()
+            (s["summary"].get("streaming_checkpoint"), s["summary"].get("streaming_batch_id"))
+            for s in tbl.snapshots()
         }
-        if batch_id in committed:
+        if (checkpoint_dir, batch_id) in committed:
             return  # replay after restart: already durable
         triples, cached = triples_chain(batch_df, ranker=ranker, n_terms=n_terms)
-        tbl.commit(
-            triples,
-            operation="append" if tbl.exists() else "overwrite",
-            summary_extra={"streaming_batch_id": batch_id},
-        )
-        for df in cached:
-            df.unpersist()
+        try:
+            tbl.commit(
+                triples,
+                operation="append" if tbl.exists() else "overwrite",
+                summary_extra={
+                    "streaming_batch_id": batch_id,
+                    "streaming_checkpoint": checkpoint_dir,
+                },
+            )
+        finally:
+            # release the chain's caches even when the commit fails —
+            # Spark retries the batch and re-persists fresh copies
+            for df in cached:
+                df.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(process)

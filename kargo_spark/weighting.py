@@ -42,34 +42,26 @@ def tf_table(cands: DataFrame, term_col: str = "lemma_term") -> DataFrame:
     )
 
 
-def tfidf_scores(
-    cands: DataFrame, df_tab: DataFrame, n_docs: int | DataFrame
-) -> DataFrame:
+def tfidf_scores(cands: DataFrame, df_tab: DataFrame, n_docs: int) -> DataFrame:
     """score = tf * log2(N / df) — pke TfIdf parity (main.py:107-110).
 
     The DF table is broadcast: it is vocabulary-sized (millions of rows at
     most), far smaller than the candidate-occurrence table, so the join is
     map-side at any corpus scale. Unseen n-grams get df=1 (pke fallback).
 
-    ``n_docs`` may be the scalar, or a 1-row aggregate DataFrame (first
-    column = N) joined in as a broadcast subquery. CAUTION with the lazy
-    form: broadcast subqueries run as separate pre-jobs — if ``cands`` is
-    an expensive uncached chain they recompute it concurrently; make sure
-    ``cands`` is materialized (persisted+counted) first.
+    ``n_docs`` is deliberately a SCALAR: a lazy 1-row-DataFrame N was
+    tried and reverted — broadcast subqueries run as separate pre-jobs
+    that race to recompute an uncached upstream chain (measured 8x
+    slower); the eager collect in ``document_frequency`` doubles as the
+    cache-materialization barrier.
     """
     tf = tf_table(cands)
     joined = tf.join(F.broadcast(df_tab), "ngram", "left").fillna({"df": 1})
-    if isinstance(n_docs, DataFrame):
-        ncol = n_docs.columns[0]
-        joined = joined.crossJoin(F.broadcast(n_docs))
-        n_expr = F.col(ncol).cast("double")
-    else:
-        n_expr = F.lit(float(n_docs))
     return joined.select(
         "doc_id",
         "ngram",
         F.col("surface").alias("term"),
-        (F.col("tf") * F.log2(n_expr / F.col("df"))).alias("score"),
+        (F.col("tf") * F.log2(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
     )
 
 

@@ -140,13 +140,36 @@ def test_streaming_triples_appends_idempotent_batches(spark, tmp_path):
     assert total == sum(s["summary"]["added_rows"] for s in snaps)
     assert total > 0
 
-    # replay: fresh stream checkpoint re-delivers the same batch ids over
-    # the same files -> every one is skipped, the table is unchanged
+    # same-query restart: the stream checkpoint already acknowledged all
+    # files -> no batches fire, the table is unchanged
     stream2 = (
         spark.readStream.format("parquet").schema(schema)
         .option("maxFilesPerTrigger", 1).load(str(src) + "/*")
     )
-    q2 = S.streaming_triples(stream2, table_root, str(tmp_path / "ck2"))
+    q2 = S.streaming_triples(stream2, table_root, str(tmp_path / "ck1"))
     q2.awaitTermination(120)
     assert len(IcebergLiteTable(spark, table_root).snapshots()) == len(snaps)
     assert IcebergLiteTable(spark, table_root).read().count() == total
+
+    # crash replay within ONE query: plant a ledger entry for (ck3, batch 0)
+    # as if the commit had landed but the stream checkpoint ack was lost —
+    # the re-delivered batch 0 must be skipped while batch 1 commits.
+    # (The ledger key is (checkpoint, batch_id): a DIFFERENT query's batch 0
+    # must NOT be skipped just because this one committed a batch 0.)
+    ck3 = str(tmp_path / "ck3")
+    tbl2_root = str(tmp_path / "triples_tbl2")
+    tbl2 = IcebergLiteTable(spark, tbl2_root)
+    marker = spark.createDataFrame(
+        [], IcebergLiteTable(spark, table_root).read().schema
+    )
+    tbl2.commit(marker, summary_extra={"streaming_batch_id": 0, "streaming_checkpoint": ck3})
+    stream3 = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(str(src) + "/*")
+    )
+    q3 = S.streaming_triples(stream3, tbl2_root, ck3)
+    q3.awaitTermination(120)
+    snaps2 = IcebergLiteTable(spark, tbl2_root).snapshots()
+    replayed = [s for s in snaps2 if s["summary"].get("streaming_batch_id") == 0]
+    assert len(replayed) == 1          # batch 0 skipped: only the marker
+    assert any(s["summary"].get("streaming_batch_id") == 1 for s in snaps2)
