@@ -572,6 +572,17 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search (embeddings table)
 # ---------------------------------------------------------------------------
 
+def q_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup consolidation: exact n-gram Jaccard pairs (tau=0.2) →
+    connected components (DataFrame min-label propagation) → min-id
+    survivor per component. Oracle: recursive-CTE transitive closure."""
+    from kargo_spark.dedup import neardup_keep
+
+    d = _docs(spark, sf_dir)
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("a", "b")
+    return neardup_keep(d, pairs)
+
+
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 per query (queries = vec_id < 5), cosine
     JVM-side via zip_with/aggregate — the ANN baseline."""
@@ -899,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "neardup_keep": q_neardup_keep,
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_stats": q_embedding_stats,
         "embedding_neardup_exact": q_embedding_neardup_exact,
@@ -1372,6 +1384,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, min(begin) AS begin, max("end") AS "end"
             FROM grouped GROUP BY doc_id, grp
+        """,
+        "neardup_keep": f"""
+            WITH RECURSIVE sh AS (
+                SELECT doc_id AS id, unnest(list_distinct({grams3})) AS s FROM documents
+            ), sizes AS (
+                SELECT id, count(*) AS sz FROM sh GROUP BY id
+            ), inter AS (
+                SELECT a.id AS ia, b.id AS ib, count(*) AS inter
+                FROM sh a JOIN sh b USING (s) WHERE a.id < b.id GROUP BY a.id, b.id
+            ), pairs AS (
+                SELECT ia AS a, ib AS b
+                FROM inter
+                JOIN sizes sza ON sza.id = ia
+                JOIN sizes szb ON szb.id = ib
+                WHERE inter / (sza.sz + szb.sz - inter)::DOUBLE >= 0.2
+            ), sym AS (
+                SELECT a AS src, b AS dst FROM pairs
+                UNION
+                SELECT b AS src, a AS dst FROM pairs
+            ), reach(a, b) AS (
+                SELECT src, dst FROM sym
+                UNION
+                SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+            ), comp AS (
+                SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a
+            )
+            SELECT d.doc_id,
+                   coalesce(c.rep, d.doc_id) AS rep,
+                   (coalesce(c.rep, d.doc_id) = d.doc_id) AS keep
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         """,
         "ann_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
