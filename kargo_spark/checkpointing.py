@@ -41,10 +41,11 @@ class StageResult:
 class CheckpointRunner:
     """Chains DataFrame stages with parquet checkpoints + resume.
 
-    ``root=None`` switches to in-memory mode: stages persist() + count()
-    instead of writing parquet — same materialization barrier per stage,
-    no durability. Used by the scaling bench to measure compute throughput
-    without colocated-disk write serialization.
+    ``root=None`` switches to in-memory mode: stages persist() LAZILY
+    (rows recorded as -1) and the caller's terminal action materializes
+    the whole chain as one DAG — no per-stage count barrier, no
+    durability. ``use_snapshots=True`` (with a root) stores each stage as
+    an Iceberg-lite snapshot table instead of bare parquet+manifest.
     """
 
     def __init__(
