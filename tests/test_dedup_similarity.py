@@ -275,3 +275,75 @@ def test_simhash_pairs_radius_zero(spark):
     got = {(r["a"], r["b"]) for r in
            dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=0).collect()}
     assert got == {(1, 2)}
+
+def test_simhash_band_spec_key_width_contract():
+    """r02 verdict weak-spot #1: every banding table's join key must be at
+    least 16 bits wide for any requested radius — the h+1-contiguous-band
+    scheme degenerated to 7-bit keys at h=8."""
+    import math
+
+    for h in range(0, 13):
+        blocks, tables = dedup.simhash_band_spec(h, min_key_bits=16)
+        assert sum(w for _, w in blocks) == 64
+        m = len(tables[0])
+        b = len(blocks)
+        assert b == h + m
+        assert len(tables) == math.comb(b, m)
+        for tbl in tables:
+            assert sum(blocks[i][1] for i in tbl) >= 16, (h, tbl)
+    # h <= 3 keeps the minimal m=1 layout (one block per table)
+    assert all(len(dedup.simhash_band_spec(h)[1][0]) == 1 for h in range(4))
+    # h=8 is the entry-query radius: b=12, m=4, C(12,4)=495 tables
+    blocks, tables = dedup.simhash_band_spec(8)
+    assert (len(blocks), len(tables)) == (12, 495)
+
+
+def test_simhash_band_spec_radius_contract_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.simhash_band_spec(40)
+    with pytest.raises(ValueError):
+        dedup.simhash_band_spec(-1)
+
+
+def test_simhash_planted_exactly_at_radius_boundary(spark):
+    """Pigeonhole recall holds AT the radius (hamming == max_hamming) under
+    the block-combination scheme, including adversarial placements that
+    dirty many blocks."""
+    base = 0x0123456789ABCDEF
+    # dirty 8 DIFFERENT 5/6-bit blocks of the b=12 layout: positions spread
+    # across distinct blocks so only 4 clean blocks remain (worst case)
+    ham8 = base
+    for p in (0, 6, 12, 17, 22, 28, 33, 38):
+        ham8 ^= 1 << p
+    rows = [(1, base), (2, ham8)]
+    hashed = spark.createDataFrame(rows, "id long, sim long")
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in dedup.simhash_pairs_from_hashes(hashed, max_hamming=8).collect()
+    }
+    assert got.get((1, 2)) == 8
+
+
+def test_minhash_hot_bucket_guard(spark):
+    """The r=1 band join must drop over-cap buckets (quadratic-bucket guard)
+    while keeping true near-dup recall through the remaining bands."""
+    docs = _docs(spark)
+    # with a cap of 1 every multi-doc bucket is dropped: the exact-dup pair
+    # (1,4) shares EVERY band bucket, so it must disappear
+    capped = dedup.minhash_lsh_pairs(
+        docs, jaccard_threshold=0.2, max_bucket_size=1
+    ).collect()
+    assert capped == []
+    # with the default cap (1000) nothing is dropped at this scale: output
+    # equals the uncapped join
+    got = {
+        (r["a"], r["b"]) for r in
+        dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.2).collect()
+    }
+    want = {
+        (r["a"], r["b"]) for r in
+        dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.2, max_bucket_size=None).collect()
+    }
+    assert got == want and (1, 4) in got
