@@ -98,3 +98,55 @@ def test_link_mentions_exact_and_embedding(spark):
     assert rows["cool chains"]["link_sim"] == 1.0
     # unlinkable garbage stays NULL
     assert rows["zzz qqq vvv"]["entity_id"] is None
+
+
+def test_connected_components_long_path_converges(spark):
+    """r02 defect: a >20-hop chain silently split under plain min-label
+    propagation capped at 20 rounds. Pointer jumping must close a 150-node
+    path (propagation distance 149) within the default 20 rounds."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(149)], "src long, dst long"
+    )
+    out = {r["vec_id"]: r["component"] for r in connected_components(edges).collect()}
+    assert len(out) == 150
+    assert set(out.values()) == {0}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=1)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random multi-component graph vs a driver-side union-find oracle."""
+    import random
+
+    rng = random.Random(7)
+    edges_py = [(rng.randrange(80), rng.randrange(80)) for _ in range(60)]
+    parent = list(range(80))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges_py:
+        parent[find(a)] = find(b)
+    touched = {v for e in edges_py for v in e}
+    want = {}
+    for v in touched:
+        want.setdefault(find(v), set()).add(v)
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    got_rows = connected_components(edges).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["component"], set()).add(r["vec_id"])
+    assert sorted(map(frozenset, got.values()), key=min) == sorted(
+        map(frozenset, want.values()), key=min
+    )
