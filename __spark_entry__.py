@@ -98,14 +98,18 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DF table: #docs containing each word (pke compute_document_frequency,
-    main.py:91-94); words seen in >= 2 docs."""
+    """DF table through the LIBRARY path (weighting.document_frequency —
+    pke compute_document_frequency, main.py:91-94); words seen in >= 2
+    docs."""
+    from kargo_spark.weighting import document_frequency
+
     d = _docs(spark, sf_dir)
-    return (
-        d.select("doc_id", F.explode(F.array_distinct(_toks(F.col("text")))).alias("word"))
-        .groupBy("word")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 2)
+    cands = d.select(
+        "doc_id", F.explode(_toks(F.col("text"))).alias("lemma_term")
+    )
+    df_tab, _ = document_frequency(cands)
+    return df_tab.filter(F.col("df") >= 2).select(
+        F.col("ngram").alias("word"), "df"
     )
 
 
@@ -119,108 +123,124 @@ def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """tf-idf scoring + top-5 window (pke TfIdf main.py:107-110 +
-    get_n_best terms.py:171): score = tf * log2(N/df)."""
-    tf = _tf(spark, sf_dir)
-    dfreq = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode(F.array_distinct(_toks(F.col("text")))).alias("word"))
-        .filter(F.length("word") >= 3)
-        .groupBy("word")
-        .agg(F.countDistinct("doc_id").alias("df"))
+def _unigram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-shaped table (doc_id, term, lemma_term, offset_begin,
+    n_words) from raw words of length >= 3 — the input contract of
+    kargo_spark.weighting, built from the documents table so the ranker
+    queries exercise the LIBRARY code paths (r02 verdict What's-wrong #4:
+    the old queries re-derived the formulas inline, so green oracle cells
+    certified the math but not weighting.py)."""
+    wp = _word_positions(spark, sf_dir).filter(F.length("word") >= 3)
+    return wp.select(
+        "doc_id",
+        F.col("word").alias("term"),
+        F.col("word").alias("lemma_term"),
+        F.col("pos").cast("long").alias("offset_begin"),
+        F.lit(1).alias("n_words"),
     )
-    n_docs = _docs(spark, sf_dir).count()
-    scored = tf.join(F.broadcast(dfreq), "word").select(
-        "doc_id", "word",
-        F.round(F.col("tf") * F.log2(F.lit(float(n_docs)) / F.col("df")), 6).alias("score"),
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("word"))
+
+
+def _bigram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-word bigram candidates (both words length >= 3) — the
+    multi-word candidates that make KPMiner's boost factor non-trivial
+    (boost = min(n_all / (n_multi * alpha), sigma) needs n_multi > 0)."""
+    wp = _word_positions(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("doc_id", "word", F.round("score", 4).alias("score"), "rank")
+        wp.select(
+            "doc_id", "word", "pos",
+            F.lead("word").over(w).alias("nxt"),
+            F.lead("pos").over(w).alias("nxt_pos"),
+        )
+        .filter(
+            (F.col("nxt").isNotNull())
+            & (F.col("nxt_pos") == F.col("pos") + 1)
+            & (F.length("word") >= 3)
+            & (F.length("nxt") >= 3)
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "word", "nxt").alias("term"),
+            F.concat_ws(" ", "word", "nxt").alias("lemma_term"),
+            F.col("pos").cast("long").alias("offset_begin"),
+            F.lit(2).alias("n_words"),
+        )
+    )
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf + top-5 through the LIBRARY path (weighting.document_frequency
+    -> tfidf_scores -> top_k_terms; pke TfIdf main.py:107-110 + get_n_best
+    terms.py:171). The only query-side shim is a round(score, 6) between
+    scoring and ranking so cross-engine 1-ulp log2 noise cannot flip ranks
+    at mathematical ties (e.g. 2*log2(N/50) == log2(N²/2500))."""
+    from kargo_spark.weighting import document_frequency, tfidf_scores, top_k_terms
+
+    cands = _unigram_candidates(spark, sf_dir)
+    df_tab, n_docs = document_frequency(cands)
+    scored = tfidf_scores(cands, df_tab, n_docs).withColumn(
+        "score", F.round("score", 6)
+    )
+    # single rounding only: the ranking score is already round-6, and a
+    # second round to 4 manufactures exact .5 boundaries where Spark
+    # (HALF_UP on decimal) and DuckDB (value-based) disagree
+    return top_k_terms(scored, k=5).select(
+        "doc_id", F.col("ngram").alias("word"), "score", "rank"
     )
 
 
 def q_kpminer_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KPMiner-style weighting (pke KPMiner, main.py:111-114): least-seen
-    frequency cutoff (tf >= 2), first occurrence within the first 200
-    tokens, doc-level boost = min(n_tokens/(n_distinct * 2.3), 3), score =
-    tf * boost * log2(N/df); top-5 per doc."""
-    wp = _word_positions(spark, sf_dir).filter(F.length("word") >= 3)
-    tf = wp.groupBy("doc_id", "word").agg(
-        F.count(F.lit(1)).alias("tf"), F.min("pos").alias("first_pos")
+    """KPMiner through the LIBRARY path (weighting.kpminer_scores over
+    unigram+bigram candidates; pke KPMiner, main.py:111-114): lasf cutoff
+    tf >= 2, first occurrence within the first 200 token positions, boost
+    B = min(n_all / (max(n_multi,1) * 2.3), 3.0) from doc-local candidate
+    counts, score = tf * B * log2(N/df); top-5 per doc. Bigram candidates
+    make n_multi (and therefore the boost) non-degenerate."""
+    from kargo_spark.weighting import document_frequency, kpminer_scores, top_k_terms
+
+    cands = _unigram_candidates(spark, sf_dir).unionByName(
+        _bigram_candidates(spark, sf_dir)
     )
-    stats = wp.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"), F.countDistinct("word").alias("n_distinct")
-    )
-    dfreq = wp.select("doc_id", "word").distinct().groupBy("word").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    n_docs = _docs(spark, sf_dir).count()
-    boost = F.least(F.col("n_tokens") / (F.col("n_distinct") * F.lit(2.3)), F.lit(3.0))
-    scored = (
-        tf.filter((F.col("tf") >= 2) & (F.col("first_pos") <= 200))
-        .join(F.broadcast(dfreq), "word")
-        .join(F.broadcast(stats), "doc_id")
-        .select(
-            "doc_id", "word",
-            F.round(F.col("tf") * boost * F.log2(F.lit(float(n_docs)) / F.col("df")), 6).alias("score"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("word"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("doc_id", "word", F.round("score", 4).alias("score"), "rank")
+    df_tab, n_docs = document_frequency(cands)
+    scored = kpminer_scores(
+        cands, df_tab, n_docs, lasf=2, cutoff=200
+    ).withColumn("score", F.round("score", 6))
+    # single rounding only: the ranking score is already round-6, and a
+    # second round to 4 manufactures exact .5 boundaries where Spark
+    # (HALF_UP on decimal) and DuckDB (value-based) disagree
+    return top_k_terms(scored, k=5).select(
+        "doc_id", F.col("ngram").alias("word"), "score", "rank"
     )
 
 
 def q_yake_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Simplified YAKE (pke YAKE shape, main.py:115-121): per-word doc-local
-    features — normalized frequency tf/(mean+std), median position, sentence
-    spread — composed into word scores; single-word candidates (len >= 3)
-    scored w/(tf*(1+w)), negated so max-is-best; top-5 per doc. Sentences =
-    fixed 10-word blocks (the synth documents table has no sentence marks).
-    Pure Column math: two doc-local aggs + broadcast joins, no UDF."""
-    wp = _word_positions(spark, sf_dir).select(
-        "doc_id", "word",
-        (F.col("pos") - 1).alias("i"),
-        F.floor((F.col("pos") - 1) / 10).alias("sid"),
+    """FULL-feature YAKE through the LIBRARY path (weighting.yake_scores —
+    the applyInPandas doc-local feature set: TCase from original-case
+    tokens, median position, TFNorm, window-2 relatedness DL/DR, sentence
+    spread; pke YAKE, main.py:115-121). Tokens keep original case for
+    TCase; sentences = fixed 10-word blocks (the synth documents table has
+    no sentence marks); candidates = single words of length >= 3. The
+    DuckDB oracle re-derives every feature in SQL (windowless self-join
+    for DL/DR), so the oracle now certifies weighting.py itself (r02
+    verdict next-step #2)."""
+    from kargo_spark.weighting import top_k_terms, yake_scores
+
+    d = _docs(spark, sf_dir)
+    raw = F.filter(F.split(F.col("text"), r"[^a-zA-Z0-9]+"), lambda t: t != "")
+    tok = d.select("doc_id", F.posexplode(raw).alias("i", "word")).select(
+        "doc_id",
+        (F.floor(F.col("i") / 10) + 1).cast("int").alias("sentence_id"),
+        ((F.col("i") % 10) + 1).cast("int").alias("token_id"),
+        "word",
     )
-    wstats = wp.groupBy("doc_id", "word").agg(
-        F.count(F.lit(1)).alias("tf_w"),
-        F.median("i").alias("med"),
-        F.countDistinct("sid").alias("nsw"),
+    cands = tok.filter(F.length("word") >= 3).select(
+        "doc_id",
+        F.lower("word").alias("term"),
+        F.lower("word").alias("lemma_term"),
     )
-    dstats = wstats.groupBy("doc_id").agg(
-        F.avg("tf_w").alias("mean_f"),
-        F.coalesce(F.stddev_pop("tf_w"), F.lit(0.0)).alias("std_f0"),
-        F.max("tf_w").alias("max_f"),
-    )
-    nsents = wp.groupBy("doc_id").agg(
-        F.greatest(F.max("sid"), F.lit(1)).alias("n_sents")
-    )
-    j = wstats.join(F.broadcast(dstats), "doc_id").join(F.broadcast(nsents), "doc_id")
-    std_f = F.when(F.col("std_f0") == 0, F.lit(1.0)).otherwise(F.col("std_f0"))
-    t_pos = F.log(F.log(F.lit(3.0) + F.col("med")))
-    t_freq = F.col("tf_w") / (F.col("mean_f") + std_f)
-    t_spread = F.col("nsw") / F.col("n_sents")
-    wscore = F.round(
-        t_pos / F.greatest(F.lit(1e-9), t_freq / F.col("max_f") * (F.lit(1) + t_spread)), 8
-    )
-    scored = j.filter(F.length("word") >= 3).select(
-        "doc_id", "word",
-        F.round(-(wscore / (F.col("tf_w") * (F.lit(1) + wscore))), 6).alias("score"),
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("word"))
-    # no second rounding: round(round(x,6),4) manufactures exact .5
-    # boundaries at the 4th digit, where Spark/DuckDB tie-rounding diverges
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("doc_id", "word", "score", "rank")
+    scored = yake_scores(tok, cands).withColumn("score", F.round("score", 6))
+    return top_k_terms(scored, k=5).select(
+        "doc_id", F.col("ngram").alias("word"), "score", "rank"
     )
 
 
@@ -947,16 +967,17 @@ def oracle_sql() -> dict[str, str]:
                unnest(range(1, len({toks}) + 1)) AS pos
         FROM documents
     """
+    # tfidf mirrors the LIBRARY semantics (weighting.document_frequency +
+    # tfidf_scores over unigram candidates): df and N both come from the
+    # candidate table, so N = #docs owning at least one length>=3 word.
     tfidf = f"""
         WITH tf AS (
             SELECT doc_id, word, count(*) AS tf
             FROM (SELECT doc_id, unnest({toks}) AS word FROM documents)
             WHERE length(word) >= 3 GROUP BY doc_id, word
         ), dfreq AS (
-            SELECT word, count(DISTINCT doc_id) AS df
-            FROM (SELECT doc_id, unnest(list_distinct({toks})) AS word FROM documents)
-            WHERE length(word) >= 3 GROUP BY word
-        ), n AS (SELECT count(*) AS n_docs FROM documents),
+            SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word
+        ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
         scored AS (
             SELECT tf.doc_id, tf.word,
                    round(tf.tf * log2(n.n_docs / dfreq.df::DOUBLE), 6) AS score
@@ -966,7 +987,7 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rank
             FROM scored
         )
-        SELECT doc_id, word, round(score, 4) AS score, rank FROM ranked WHERE rank <= 5
+        SELECT doc_id, word, score, rank FROM ranked WHERE rank <= 5
     """
     cooc = f"""
         WITH wp AS ({word_pos}),
@@ -1030,27 +1051,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tfidf_topk": tfidf,
         "kpminer_topk": f"""
-            WITH wp AS (
-                SELECT doc_id, word, pos FROM ({word_pos}) WHERE length(word) >= 3
+            WITH wp AS ({word_pos}),
+            cands AS (
+                SELECT doc_id, word AS term, 1 AS n_words, pos
+                FROM wp WHERE length(word) >= 3
+                UNION ALL
+                SELECT a.doc_id, a.word || ' ' || b.word AS term, 2 AS n_words, a.pos
+                FROM wp a JOIN wp b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                WHERE length(a.word) >= 3 AND length(b.word) >= 3
             ),
             tf AS (
-                SELECT doc_id, word, count(*) AS tf, min(pos) AS first_pos
-                FROM wp GROUP BY doc_id, word
+                SELECT doc_id, term, count(*) AS tf, min(pos) AS first_pos
+                FROM cands GROUP BY doc_id, term
             ),
-            stats AS (
-                SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_distinct
-                FROM wp GROUP BY doc_id
+            nw AS (
+                SELECT doc_id, count(*) AS n_all,
+                       sum(CASE WHEN n_words > 1 THEN 1 ELSE 0 END) AS n_multi
+                FROM cands GROUP BY doc_id
             ),
             dfreq AS (
-                SELECT word, count(DISTINCT doc_id) AS df FROM wp GROUP BY word
+                SELECT term, count(DISTINCT doc_id) AS df FROM cands GROUP BY term
             ),
-            n AS (SELECT count(*) AS n_docs FROM documents),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM cands),
             scored AS (
-                SELECT tf.doc_id, tf.word,
-                       round(tf.tf * least(stats.n_tokens / (stats.n_distinct * 2.3), 3.0)
+                SELECT tf.doc_id, tf.term AS word,
+                       round(tf.tf
+                             * least(nw.n_all / (greatest(nw.n_multi, 1) * 2.3), 3.0)
                              * log2(n.n_docs / dfreq.df::DOUBLE), 6) AS score
                 FROM tf
-                JOIN dfreq USING (word) JOIN stats USING (doc_id) CROSS JOIN n
+                JOIN dfreq USING (term) JOIN nw USING (doc_id) CROSS JOIN n
                 WHERE tf.tf >= 2 AND tf.first_pos <= 200
             ),
             ranked AS (
@@ -1058,42 +1088,86 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rank
                 FROM scored
             )
-            SELECT doc_id, word, round(score, 4) AS score, rank FROM ranked WHERE rank <= 5
+            SELECT doc_id, word, score, rank FROM ranked WHERE rank <= 5
         """,
-        "yake_topk": f"""
-            WITH wp AS (
-                SELECT doc_id, unnest({toks}) AS word,
-                       unnest(range(0, len({toks}))) AS i
+        "yake_topk": """
+            WITH rawtoks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+                                   x -> x <> '') AS arr
                 FROM documents
             ),
-            wp2 AS (SELECT doc_id, word, i, i // 10 AS sid FROM wp),
+            tok AS (
+                SELECT doc_id, unnest(arr) AS wo,
+                       unnest(range(0, len(arr))) AS i
+                FROM rawtoks
+            ),
+            tok2 AS (
+                SELECT doc_id, wo, lower(wo) AS wl, i,
+                       (i // 10) + 1 AS sid, (i % 10) + 1 AS tid
+                FROM tok
+            ),
             wstats AS (
-                SELECT doc_id, word, count(*) AS tf_w, median(i) AS med,
-                       count(DISTINCT sid) AS nsw
-                FROM wp2 GROUP BY doc_id, word
+                SELECT doc_id, wl, count(*) AS tf,
+                       quantile_cont(i, 0.5) AS med,
+                       count(DISTINCT sid) AS nsw,
+                       sum(CASE WHEN upper(wo) = wo AND lower(wo) <> wo
+                                     AND length(wo) > 1
+                                THEN 1 ELSE 0 END) AS tfa,
+                       sum(CASE WHEN NOT (upper(wo) = wo AND lower(wo) <> wo
+                                          AND length(wo) > 1)
+                                     AND substring(wo, 1, 1) BETWEEN 'A' AND 'Z'
+                                     AND tid > 1
+                                THEN 1 ELSE 0 END) AS tfu
+                FROM tok2 GROUP BY doc_id, wl
+            ),
+            ctx AS (
+                SELECT a.doc_id, a.wl,
+                       count(DISTINCT CASE WHEN b.i < a.i THEN b.wl END) AS ldis,
+                       count(CASE WHEN b.i < a.i THEN 1 END) AS ltot,
+                       count(DISTINCT CASE WHEN b.i > a.i THEN b.wl END) AS rdis,
+                       count(CASE WHEN b.i > a.i THEN 1 END) AS rtot
+                FROM tok2 a JOIN tok2 b
+                  ON a.doc_id = b.doc_id
+                 AND b.i BETWEEN a.i - 2 AND a.i + 2 AND b.i <> a.i
+                GROUP BY a.doc_id, a.wl
             ),
             dstats AS (
-                SELECT doc_id, avg(tf_w) AS mean_f,
-                       coalesce(stddev_pop(tf_w), 0.0) AS std_f0,
-                       max(tf_w) AS max_f
+                SELECT doc_id, avg(tf) AS mean_f,
+                       coalesce(stddev_pop(tf), 0.0) AS std_f0,
+                       max(tf) AS max_f
                 FROM wstats GROUP BY doc_id
             ),
             nsents AS (
                 SELECT doc_id, greatest(max(sid), 1) AS n_sents
-                FROM wp2 GROUP BY doc_id
+                FROM tok2 GROUP BY doc_id
             ),
             ws AS (
-                SELECT w.doc_id, w.word, w.tf_w,
-                       round(ln(ln(3.0 + w.med)) / greatest(1e-9,
-                             (w.tf_w / (d.mean_f + CASE WHEN d.std_f0 = 0 THEN 1.0 ELSE d.std_f0 END))
-                             / d.max_f * (1 + w.nsw / n.n_sents::DOUBLE)), 8) AS wscore
-                FROM wstats w JOIN dstats d USING (doc_id) JOIN nsents n USING (doc_id)
-                WHERE length(w.word) >= 3
+                SELECT w.doc_id, w.wl AS word, w.tf,
+                       ln(ln(3.0 + w.med)) AS t_pos,
+                       greatest(w.tfu, w.tfa) / (1.0 + ln(w.tf)) AS t_case,
+                       w.tf / (d.mean_f + CASE WHEN d.std_f0 = 0 THEN 1.0
+                                               ELSE d.std_f0 END) AS t_fnorm,
+                       1.0 + (CASE WHEN coalesce(c.ltot, 0) > 0
+                                   THEN c.ldis / c.ltot::DOUBLE ELSE 0.0 END
+                              + CASE WHEN coalesce(c.rtot, 0) > 0
+                                     THEN c.rdis / c.rtot::DOUBLE ELSE 0.0 END)
+                             * w.tf / d.max_f AS t_rel,
+                       w.nsw / n.n_sents::DOUBLE AS t_sent
+                FROM wstats w
+                JOIN dstats d USING (doc_id) JOIN nsents n USING (doc_id)
+                LEFT JOIN ctx c ON c.doc_id = w.doc_id AND c.wl = w.wl
+            ),
+            wsc AS (
+                SELECT doc_id, word, tf,
+                       t_pos * t_rel
+                       / (t_case + t_fnorm / t_rel + t_sent / t_rel) AS s
+                FROM ws
             ),
             scored AS (
                 SELECT doc_id, word,
-                       round(-(wscore / (tf_w * (1 + wscore))), 6) AS score
-                FROM ws
+                       round(-(s / (tf * (1 + s))), 6) AS score
+                FROM wsc WHERE length(word) >= 3
             ),
             ranked AS (
                 SELECT doc_id, word, score,

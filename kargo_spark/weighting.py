@@ -217,10 +217,14 @@ def yake_scores(tokens: DataFrame, cands: DataFrame) -> DataFrame:
         F.col("lemma_term").alias("ngram"),
         "term",
     )
+    # output doc_id keeps the caller's id type (string corpus ids, long
+    # synthetic ids — Arrow refuses an int64 column under a string schema)
+    id_type = tokens.schema["doc_id"].dataType.simpleString()
+    schema = f"doc_id {id_type}, ngram string, term string, score double"
     return (
         tok_part.unionByName(cand_part)
         .groupBy("doc_id")
-        .applyInPandas(_yake_doc, YAKE_SCHEMA)
+        .applyInPandas(_yake_doc, schema)
     )
 
 
