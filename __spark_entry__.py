@@ -729,6 +729,48 @@ def q_kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["triples"].select("subj", "pred", "obj", "support")
 
 
+def q_transfer_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised relation typing (reference TransferRE — opennre
+    model.infer over (text, head span, tail span) with a probability
+    threshold) through the library's mapInPandas stage with the
+    deterministic md5 stub model. Pairs here: the two alphabetically-first
+    distinct words of length >= 6 per doc, spans located in the lowercased
+    text — fully DuckDB-expressible, so the oracle certifies the whole
+    batch-inference stage (span slicing, keying, thresholding)."""
+    from kargo_spark.transfer_re import transfer_re
+
+    wp = _word_positions(spark, sf_dir).filter(F.length("word") >= 6)
+    dw = wp.select("doc_id", "word").distinct()
+    w = Window.partitionBy("doc_id").orderBy("word")
+    two = dw.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    pv = (
+        two.groupBy("doc_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("word"))).alias("head"),
+            F.min(F.when(F.col("rn") == 2, F.col("word"))).alias("tail"),
+        )
+        .filter(F.col("tail").isNotNull())
+    )
+    d = _docs(spark, sf_dir).select("doc_id", F.lower("text").alias("text"))
+    pairs = (
+        pv.join(d, "doc_id")
+        .select(
+            "doc_id",
+            F.lit(0).cast("int").alias("sent_id"),
+            F.lit(0).cast("int").alias("cooc_no"),
+            "text",
+            (F.expr("instr(text, head)") - 1).cast("long").alias("head_begin"),
+            (F.expr("instr(text, head)") - 1 + F.length("head")).cast("long").alias("head_end"),
+            (F.expr("instr(text, tail)") - 1).cast("long").alias("tail_begin"),
+            (F.expr("instr(text, tail)") - 1 + F.length("tail")).cast("long").alias("tail_end"),
+        )
+    )
+    return transfer_re(pairs, prob_threshold=0.5).select(
+        "doc_id", "sent_id", "cooc_no", "relation",
+        F.round("prob", 4).alias("prob"), "head_words", "tail_words",
+    )
+
+
 def q_embedrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EmbedRank MMR top-5 per doc (terms.py:216-235 semantics)."""
     from kargo_spark import candidates as C
@@ -943,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_spans": q_merge_spans,
         "minhash_neardup": q_minhash_neardup,
         "multimodal_features": q_multimodal_features,
+        "transfer_relations": q_transfer_relations,
         # rows-only (no SQL oracle):
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
@@ -1661,5 +1704,51 @@ def oracle_sql() -> dict[str, str]:
                 ) c ON v.ngram = c.dst
             )
             SELECT ngram, round(score, 6) AS score FROM r3
+        """,
+        "transfer_relations": f"""
+            WITH wp AS ({word_pos}),
+            dw AS (
+                SELECT DISTINCT doc_id, word FROM wp WHERE length(word) >= 6
+            ),
+            two AS (
+                SELECT doc_id, word,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY word) AS rn
+                FROM dw
+            ),
+            pv AS (
+                SELECT doc_id,
+                       min(CASE WHEN rn = 1 THEN word END) AS head,
+                       min(CASE WHEN rn = 2 THEN word END) AS tail
+                FROM two WHERE rn <= 2 GROUP BY doc_id
+                HAVING count(*) = 2
+            ),
+            spans AS (
+                SELECT p.doc_id, lower(d.text) AS text,
+                       strpos(lower(d.text), p.head) - 1 AS hb,
+                       strpos(lower(d.text), p.head) - 1 + length(p.head) AS he,
+                       strpos(lower(d.text), p.tail) - 1 AS tb,
+                       strpos(lower(d.text), p.tail) - 1 + length(p.tail) AS te
+                FROM pv p JOIN documents d USING (doc_id)
+            ),
+            scored AS (
+                SELECT doc_id, text, hb, he, tb, te,
+                       md5(text || '|' || hb || ':' || he || '|' || tb || ':' || te) AS dg
+                FROM spans
+            ),
+            typed AS (
+                SELECT doc_id, 0 AS sent_id, 0 AS cooc_no,
+                       list_extract(
+                           ['part_of', 'located_in', 'operated_by',
+                            'transports', 'uses'],
+                           (CAST('0x' || substring(dg, 1, 8) AS BIGINT) % 5)::INT + 1
+                       ) AS relation,
+                       round((CAST('0x' || substring(dg, 9, 8) AS BIGINT) % 10000)
+                             / 10000.0, 4) AS prob,
+                       substring(text, hb + 1, he - hb) AS head_words,
+                       substring(text, tb + 1, te - tb) AS tail_words
+                FROM scored
+            )
+            SELECT doc_id, sent_id, cooc_no, relation, prob, head_words, tail_words
+            FROM typed WHERE prob >= 0.5
         """,
     }
