@@ -420,10 +420,14 @@ def q_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop reachability over the materialized triple store (the
-    downstream graph query the Iceberg graph tables serve)."""
+    downstream graph query the Iceberg graph tables serve) — WITH the
+    hub-middle degree guard engaged (max_mid_degree=2), so the contract
+    exercises the skew path that keeps a top-degree middle node from
+    squaring the self-join at corpus scale (r02 verdict next-step #9);
+    the oracle replicates the degree cutoff."""
     from kargo_spark.graph_store import two_hop
 
-    return two_hop(q_triples_agg(spark, sf_dir))
+    return two_hop(q_triples_agg(spark, sf_dir), max_mid_degree=2)
 
 
 def q_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1303,8 +1307,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT head AS subj, tail AS obj, count(*) AS support
                 FROM pairs GROUP BY head, tail
             ),
-            t1 AS (SELECT subj AS src, obj AS mid, support AS s1 FROM trip),
-            t2 AS (SELECT subj AS mid, obj AS dst, support AS s2 FROM trip)
+            hot AS (
+                SELECT subj AS mid FROM trip GROUP BY subj HAVING count(*) > 2
+            ),
+            t1 AS (
+                SELECT subj AS src, obj AS mid, support AS s1 FROM trip
+                WHERE obj NOT IN (SELECT mid FROM hot)
+            ),
+            t2 AS (
+                SELECT subj AS mid, obj AS dst, support AS s2 FROM trip
+                WHERE subj NOT IN (SELECT mid FROM hot)
+            )
             SELECT src, dst, count(DISTINCT mid) AS n_paths,
                    sum(least(s1, s2))::BIGINT AS path_support
             FROM t1 JOIN t2 USING (mid) WHERE src <> dst

@@ -188,11 +188,22 @@ def run_jvm_calibration() -> dict:
 
 def _lazy_triples(spark, docs):
     """One-DAG triple chain (kargo_spark.pipeline.triples_chain): the
-    measurement is real multi-stage throughput, not per-stage barriers."""
+    measurement is real multi-stage throughput, not per-stage barriers.
+    Returns (triples, cached) — callers must unpersist the cached handles
+    after the terminal action, or repeated scaling-bench invocations in
+    one session accumulate cached blocks and skew later measurements
+    under memory pressure (r02 ADVICE low #5)."""
     from kargo_spark.pipeline import triples_chain
 
-    triples, _cached = triples_chain(docs)
-    return triples
+    return triples_chain(docs)
+
+
+def _count_and_release(triples, cached) -> int:
+    try:
+        return triples.count()
+    finally:
+        for c in cached:
+            c.unpersist()
 
 
 def run_pipeline_throughput() -> dict:
@@ -203,12 +214,12 @@ def run_pipeline_throughput() -> dict:
 
     spark = get_spark(app_name="kargo_scaling", master=f"local[{CPUS}]")
     # tiny warm-up so JVM/Arrow/Python-worker startup is excluded
-    _lazy_triples(spark, synth_documents(spark, n_rows=50)).count()
+    _count_and_release(*_lazy_triples(spark, synth_documents(spark, n_rows=50)))
     docs = synth_documents(spark, n_rows=SCALING_DOCS, words_per_doc=SCALING_WORDS)
     docs = docs.repartition(int(CPUS) * 4).persist()
     n_docs = docs.count()
     t0 = time.time()
-    n_triples = _lazy_triples(spark, docs).count()
+    n_triples = _count_and_release(*_lazy_triples(spark, docs))
     dt = time.time() - t0
     return {
         "cpus": CPUS,

@@ -181,7 +181,13 @@ def _doc_topic_rank(pdf: pd.DataFrame, multipartite: bool, alpha: float = 1.1) -
     cidx = np.asarray(cat.codes, dtype=np.int64)
     offs = occ["offset_begin"].to_numpy(dtype=np.float64)
     adj = np.zeros((n, n))
-    block = 4096  # bounds the dense occ×occ slab to ~block·occ floats
+    # bound the dense (block x occ) slab to a FIXED byte budget (~256 MB of
+    # float64) regardless of occurrence count: a constant block size made
+    # the slab grow linearly with occurrences — ~32 GB transient for a
+    # 1M-occurrence doc, OOMing the very task the vectorization was meant
+    # to rescue (r02 ADVICE low #3)
+    target_floats = 32 << 20
+    block = max(1, target_floats // max(len(offs), 1))
     for s in range(0, len(offs), block):
         d = 1.0 / (np.abs(offs[s:s + block, None] - offs[None, :]) + 1.0)
         np.add.at(adj, (cidx[s:s + block, None], cidx[None, :]), d)

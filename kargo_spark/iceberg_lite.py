@@ -51,11 +51,21 @@ class IcebergLiteTable:
         return os.path.join(self.meta_dir, _HINT)
 
     def current_version(self) -> int | None:
+        """Latest committed metadata version. The hint file is exactly
+        that — a HINT (as in Iceberg's HadoopTableOperations): a racing
+        writer may have committed a newer version before losing the
+        pointer swap, so probe upward from the hint until the first
+        missing v{N}.metadata.json."""
         try:
             with open(self._hint_path()) as f:
-                return int(f.read().strip())
+                v = int(f.read().strip())
         except (OSError, ValueError):
-            return None
+            v = 0
+            if not os.path.exists(os.path.join(self.meta_dir, "v1.metadata.json")):
+                return None
+        while os.path.exists(os.path.join(self.meta_dir, f"v{v + 1}.metadata.json")):
+            v += 1
+        return v if v > 0 else None
 
     def _metadata(self, version: int | None = None) -> dict | None:
         v = self.current_version() if version is None else version
@@ -109,62 +119,101 @@ class IcebergLiteTable:
         """Write a new snapshot and atomically make it current. Returns the
         snapshot id. ``append`` inherits the parent's data directories.
         ``summary_extra`` lands in the snapshot summary — e.g. a streaming
-        batch id, which makes foreachBatch replays idempotent."""
+        batch id, which makes foreachBatch replays idempotent.
+
+        Concurrency: optimistic, as in real Iceberg (r02 ADVICE med #1 —
+        the old read-modify-write let two writers compute the same version
+        and the second silently overwrite the first's snapshot). The data
+        directory carries a per-attempt unique suffix (written once); the
+        metadata version file is created with O_CREAT|O_EXCL, and on
+        collision the whole metadata derivation (parent, snapshot id,
+        history) is recomputed against the winner's state and retried.
+        """
         assert operation in ("append", "overwrite")
         os.makedirs(self.meta_dir, exist_ok=True)
-        prev = self._metadata()
-        parent_id = prev["current_snapshot_id"] if prev else None
-        # new id = max over history, NOT parent+1: after rollback(1) the
-        # parent is 1 but snapshot 2 still exists — parent+1 would reuse
-        # id 2 and overwrite its data directory, destroying history
-        max_id = max((s["snapshot_id"] for s in (prev or {}).get("snapshots", [])), default=0)
-        if operation == "append" and parent_id is not None:
-            # Iceberg appends never silently change the table schema
-            parent_schema = self._snapshot(parent_id)["summary"]["schema"]
-            if df.schema.simpleString() != parent_schema:
-                raise ValueError(
-                    f"append schema mismatch for {self.root}: table has "
-                    f"{parent_schema}, append brings {df.schema.simpleString()}"
+
+        data_dir = None
+        pcounts = None
+        for _ in range(20):
+            prev = self._metadata()
+            parent_id = prev["current_snapshot_id"] if prev else None
+            # new id = max over history, NOT parent+1: after rollback(1)
+            # the parent is 1 but snapshot 2 still exists — parent+1 would
+            # reuse id 2, colliding in history
+            max_id = max(
+                (s["snapshot_id"] for s in (prev or {}).get("snapshots", [])), default=0
+            )
+            if operation == "append" and parent_id is not None:
+                # Iceberg appends never silently change the table schema
+                parent_schema = self._snapshot(parent_id)["summary"]["schema"]
+                if df.schema.simpleString() != parent_schema:
+                    raise ValueError(
+                        f"append schema mismatch for {self.root}: table has "
+                        f"{parent_schema}, append brings {df.schema.simpleString()}"
+                    )
+            snapshot_id = max_id + 1
+            version = (self.current_version() or 0) + 1
+
+            if data_dir is None:
+                # write data ONCE, to a dir no other writer can pick:
+                # uuid suffix, not the (contendable) snapshot id alone
+                import uuid
+
+                data_dir = os.path.join(
+                    self.root, "data", f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}"
                 )
-        snapshot_id = max_id + 1
-        version = (self.current_version() or 0) + 1
+                pcounts = self._write_data(df, data_dir)
 
-        data_dir = os.path.join(self.root, "data", f"snap-{snapshot_id}")
-        pcounts = self._write_data(df, data_dir)
+            dirs = [data_dir]
+            if operation == "append" and parent_id is not None:
+                dirs = self._snapshot(parent_id)["data_dirs"] + dirs
+            snap = {
+                "snapshot_id": snapshot_id,
+                "parent_snapshot_id": parent_id,
+                "operation": operation,
+                "timestamp_ms": int(time.time() * 1000),
+                "data_dirs": dirs,
+                "summary": {
+                    "added_rows": sum(pcounts.values()),
+                    "added_partitions": pcounts,
+                    "schema": df.schema.simpleString(),
+                    **(summary_extra or {}),
+                },
+            }
+            meta = {
+                "format_version": 1,
+                "current_snapshot_id": snapshot_id,
+                "snapshots": (prev["snapshots"] if prev else []) + [snap],
+            }
+            if self._commit_metadata(version, meta):
+                return snapshot_id
+            # lost the race: another writer owns this version — recompute
+            # against the committed state and try the next version
+        raise RuntimeError(
+            f"commit to {self.root} lost {20} optimistic-concurrency races; "
+            "giving up (is a writer livelocking this table?)"
+        )
 
-        dirs = [data_dir]
-        if operation == "append" and parent_id is not None:
-            dirs = self._snapshot(parent_id)["data_dirs"] + dirs
-        snap = {
-            "snapshot_id": snapshot_id,
-            "parent_snapshot_id": parent_id,
-            "operation": operation,
-            "timestamp_ms": int(time.time() * 1000),
-            "data_dirs": dirs,
-            "summary": {
-                "added_rows": sum(pcounts.values()),
-                "added_partitions": pcounts,
-                "schema": df.schema.simpleString(),
-                **(summary_extra or {}),
-            },
-        }
-        meta = {
-            "format_version": 1,
-            "current_snapshot_id": snapshot_id,
-            "snapshots": (prev["snapshots"] if prev else []) + [snap],
-        }
-        self._commit_metadata(version, meta)
-        return snapshot_id
-
-    def _commit_metadata(self, version: int, meta: dict) -> None:
-        """Iceberg's atomic swap: metadata file first, then the pointer via
-        ``os.replace`` (rename is atomic within a filesystem)."""
-        with open(os.path.join(self.meta_dir, f"v{version}.metadata.json"), "w") as f:
+    def _commit_metadata(self, version: int, meta: dict) -> bool:
+        """Iceberg's atomic swap, made safe for concurrent writers: the
+        metadata version file is claimed with O_CREAT|O_EXCL (a loser sees
+        FileExistsError -> False and retries at the next version), then the
+        hint pointer is swapped via ``os.replace`` (atomic rename). The
+        pointer is last-writer-wins but only a HINT — ``current_version``
+        probes past it, so a stale pointer never hides a committed version.
+        """
+        path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
             json.dump(meta, f, indent=1)
-        tmp = self._hint_path() + ".tmp"
+        tmp = f"{self._hint_path()}.{os.getpid()}.tmp"
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._hint_path())
+        return True
 
     # -- reads ------------------------------------------------------------
 
@@ -183,13 +232,18 @@ class IcebergLiteTable:
 
     def rollback(self, snapshot_id: int) -> int:
         """Make an old snapshot current again (new metadata version; the
-        abandoned snapshots stay in history, as in Iceberg)."""
-        snap = self._snapshot(snapshot_id)  # raises if unknown
-        meta = self._metadata()
-        meta["current_snapshot_id"] = snap["snapshot_id"]
-        version = self.current_version() + 1
-        self._commit_metadata(version, meta)
-        return version
+        abandoned snapshots stay in history, as in Iceberg). Same
+        optimistic-concurrency loop as ``commit``."""
+        self._snapshot(snapshot_id)  # raises if unknown
+        for _ in range(20):
+            meta = self._metadata()
+            meta["current_snapshot_id"] = self._snapshot(snapshot_id)["snapshot_id"]
+            version = self.current_version() + 1
+            if self._commit_metadata(version, meta):
+                return version
+        raise RuntimeError(
+            f"rollback of {self.root} lost 20 optimistic-concurrency races"
+        )
 
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Drop old snapshots' metadata entries and delete data dirs no

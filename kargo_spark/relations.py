@@ -177,28 +177,52 @@ REFERENCE_PAIRS_SCHEMA = (
     "in_between string"
 )
 
+REFERENCE_PATTERN_SCHEMA = (
+    REFERENCE_PAIRS_SCHEMA
+    + ", in_between_pat array<string>, prefix_pat array<string>, "
+    "suffix_pat array<string>"
+)
+
 
 def _doc_reference_pairs(
     pdf, window_size: int, closest_term_only: bool, include_ne: bool,
-    exclude_ne: tuple,
+    exclude_ne: tuple, lowercase: bool = True, strict_reference_ne: bool = False,
+    with_patterns: bool = False, n_outer_tokens: int = 0,
+    generalize: str = "word",
 ):
     """Exact reimplementation of RelationExtractor.get_terms_occurrence +
     get_all_cooccurrences (reference kargo/relations.py — single-line file;
     recovered round 2) for ONE document:
 
-    * term spans: FIRST case-sensitive word-sequence match per term against
-      the lowercased sentence, scanning ``range(n_words - n_term_words)``
-      — the reference's own off-by-one excludes a term ending exactly at
-      the sentence end and is kept for parity (is_term_exist).
+    * term spans: FIRST word-sequence match per term, scanning
+      ``range(n_words - n_term_words)`` — the reference's own off-by-one
+      excludes a term ending exactly at the sentence end and is kept for
+      parity (is_term_exist). ``lowercase=True`` matches against lowercased
+      words and emits lowercased surfaces (the variant that reproduces the
+      dev annotation artifacts, r02 north gate); ``False`` matches
+      case-SENSITIVELY against the original words and emits original-case
+      surfaces — the committed reference code path, the one that produced
+      results/extracted_relations/relation_jsons/train_dev-*.json.
     * named entities: BIOES runs, types not in exclude_ne
       (get_named_entities; annotation runs used exclude PERSON/DATE).
+      Default = the engine's cleaned tagger (handles plain BIO too, resets
+      after each flush); ``strict_reference_ne=True`` replicates the
+      reference loop VERBATIM, including its quirks (an I/E tag with no
+      open span appends to — and therefore mutates — the previously
+      emitted entity; excluded-type tokens are skipped without closing
+      the open span), which artifact-level parity requires.
     * overlap reduction: keep first non-overlapping span, terms before NEs
       (reduce_duplicate_entities).
     * pairing: spans sorted by first token; tail = next span only when
       closest_term_only; token-id gap <= window_size; cooc_no = 0-based
       ordinal within the sentence (get_relations_to_anno meta).
-    Surfaces come from the reconstructed sentence text (offset-preserving,
-    SentenceParser.__str__) lowercased — matching the annotation artifacts.
+    * ``with_patterns``: also emit the ClusteringRE pattern token arrays —
+      in_between = tokens strictly between head and tail
+      (get_tokens_subset(head_end+1, tail_begin)), plus prefix/suffix when
+      ``n_outer_tokens`` > 0 (bounded by the previous head end / next head
+      begin exactly as in get_terms_occurrence); each token generalized to
+      its ``word`` / ``lemma`` / ``pos`` attribute (ClusteringRE
+      generalize).
     """
     import pandas as pd
 
@@ -206,11 +230,17 @@ def _doc_reference_pairs(
     toks = pdf[pdf["term"].isna()]
     term_rows = pdf[pdf["term"].notna()].sort_values("rank")
     term_words = [str(t).split() for t in term_rows["term"].values]
+    gattr = generalize if generalize in ("word", "lemma", "pos") else "word"
     out = []
     for sid, sent in toks.groupby("sent_id"):
         sent = sent.sort_values("token_id")
         words = [str(w) for w in sent["word"].values]
         lwords = [w.lower() for w in words]
+        mwords = lwords if lowercase else words
+        if with_patterns and gattr != "word":
+            gvals = [str(x) for x in sent[gattr].values]
+        else:
+            gvals = words
         obs = sent["offset_begin"].values
         oes = sent["offset_end"].values
         ners = [str(x) for x in sent["ner"].values]
@@ -223,24 +253,38 @@ def _doc_reference_pairs(
                 buf.append(" " * (b - cur))
             buf.append(w)
             cur = e
-        text = "".join(buf).lower()
+        text = "".join(buf)
+        if lowercase:
+            text = text.lower()
         # term spans: first match per term, reference off-by-one scan bound
         spans = []
         for tw in term_words:
             if not tw:
                 continue
-            for i in range(len(lwords) - len(tw)):
-                if lwords[i : i + len(tw)] == tw:
+            for i in range(len(mwords) - len(tw)):
+                if mwords[i : i + len(tw)] == tw:
                     spans.append(list(range(i, i + len(tw))))
                     break
-        # named entities — handles BIOES (reference CoreNLP corpora) AND
-        # plain BIO (the engine's own nlp heuristic tagger, which has no
-        # E/S tags): a span closes on E/S, on any non-continuation tag
-        # (O / new B / excluded type), or at sentence end; ``ent`` is
-        # reset after every flush so later tags cannot mutate an
-        # already-appended span
-        if include_ne:
+        if include_ne and strict_reference_ne:
+            # reference get_named_entities VERBATIM (0-based indices):
+            # mutation quirks preserved — see docstring
+            ents: list[list[int]] = []
             ent: list[int] = []
+            n_toks = len(ners)
+            for k, ner in enumerate(ners):
+                if ner.split("-")[-1] in exclude_ne:
+                    continue
+                tag = ner[0]
+                if tag in ("B", "S"):
+                    ent = [k]
+                elif tag in ("I", "E"):
+                    ent.append(k)
+                if tag in ("E", "S") or (tag in ("B", "I") and k + 1 == n_toks):
+                    ents.append(ent)
+            spans.extend(ents)
+        elif include_ne:
+            # engine-cleaned tagger: BIOES AND plain BIO, reset after flush
+            ent = []
             for k, ner in enumerate(ners):
                 tag = ner[0]
                 excluded = ner.split("-")[-1] in exclude_ne
@@ -270,6 +314,7 @@ def _doc_reference_pairs(
         uniq.sort(key=lambda e: e[0])
         # adjacent pairing within the token window
         cooc_no = 0
+        prev_head_end = 0  # reference prev_head_end=1, 1-based -> 0-based
         for i in range(len(uniq)):
             head_end = uniq[i][-1]
             hi = min(i + 2, len(uniq)) if closest_term_only else len(uniq)
@@ -278,11 +323,43 @@ def _doc_reference_pairs(
                     h = text[int(obs[uniq[i][0]]) - off : int(oes[uniq[i][-1]]) - off]
                     t = text[int(obs[uniq[j][0]]) - off : int(oes[uniq[j][-1]]) - off]
                     ib = text[int(oes[uniq[i][-1]]) - off : int(obs[uniq[j][0]]) - off]
-                    out.append((doc_id, int(sid), cooc_no, h, t, ib))
+                    row = [doc_id, int(sid), cooc_no, h, t, ib]
+                    if with_patterns:
+                        tail_begin = uniq[j][0]
+                        # get_tokens_subset(head_end+1, tail_begin): 1-based
+                        # ids head_end+1 .. tail_begin-1 == 0-based slice
+                        # (head_end+1 : tail_begin)
+                        row.append([gvals[k] for k in range(head_end + 1, tail_begin)])
+                        if n_outer_tokens:
+                            head_begin = uniq[i][0]
+                            tail_end = uniq[j][-1]
+                            next_head_begin = (
+                                uniq[j + 1][0] if j < len(uniq) - 1 else len(words)
+                            )
+                            row.append([
+                                gvals[k]
+                                for k in range(
+                                    max(prev_head_end, head_begin - n_outer_tokens),
+                                    head_begin,
+                                )
+                            ])
+                            row.append([
+                                gvals[k]
+                                for k in range(
+                                    tail_end + 1,
+                                    min(next_head_begin, tail_end + 1 + n_outer_tokens),
+                                )
+                            ])
+                        else:
+                            row.extend([[], []])
+                    out.append(tuple(row))
                     cooc_no += 1
-    return pd.DataFrame(
-        out, columns=["doc_id", "sent_id", "cooc_no", "head", "tail", "in_between"]
-    )
+            if closest_term_only:
+                prev_head_end = uniq[i][-1] + 1
+    cols = ["doc_id", "sent_id", "cooc_no", "head", "tail", "in_between"]
+    if with_patterns:
+        cols += ["in_between_pat", "prefix_pat", "suffix_pat"]
+    return pd.DataFrame(out, columns=cols)
 
 
 def reference_pairs(
@@ -292,6 +369,11 @@ def reference_pairs(
     closest_term_only: bool = True,
     include_ne: bool = True,
     exclude_ne: tuple = ("PERSON", "DATE"),
+    lowercase: bool = True,
+    strict_reference_ne: bool = False,
+    with_patterns: bool = False,
+    n_outer_tokens: int = 0,
+    generalize: str = "word",
 ) -> DataFrame:
     """KArgo-exact relation-candidate pairs over an annotated token table
     (e.g. xml_io.read_corenlp_tokens output) + per-doc ranked terms
@@ -300,11 +382,20 @@ def reference_pairs(
     One groupBy(doc_id) shuffle ships tokens and terms together (union
     trick); the per-doc pass is the sequential reference algorithm —
     doc-local, so parallelism = documents, the right axis at corpus scale.
+
+    Defaults reproduce the dev annotation artifacts (lowercased variant,
+    r02 north gate). ``lowercase=False, strict_reference_ne=True,
+    with_patterns=True`` is the committed-reference configuration that
+    produced the train_dev ClusteringRE artifacts; see
+    ``_doc_reference_pairs`` for the exact semantics of every flag.
     """
+    gattr = generalize if generalize in ("word", "lemma", "pos") else "word"
+    extra = [gattr] if (with_patterns and gattr != "word") else []
     tok_part = tokens.select(
         "doc_id",
         F.col("sentence_id").alias("sent_id"),
         "token_id", "word", "offset_begin", "offset_end", "ner",
+        *extra,
         F.lit(None).cast("int").alias("rank"),
         F.lit(None).cast("string").alias("term"),
     )
@@ -316,19 +407,25 @@ def reference_pairs(
         F.lit(0).cast("long").alias("offset_begin"),
         F.lit(0).cast("long").alias("offset_end"),
         F.lit("O").alias("ner"),
+        *[F.lit("").alias(a) for a in extra],
         F.col("rank").cast("int").alias("rank"),
         "term",
     )
 
     def fn(pdf):
         return _doc_reference_pairs(
-            pdf, window_size, closest_term_only, include_ne, exclude_ne
+            pdf, window_size, closest_term_only, include_ne, exclude_ne,
+            lowercase=lowercase, strict_reference_ne=strict_reference_ne,
+            with_patterns=with_patterns, n_outer_tokens=n_outer_tokens,
+            generalize=generalize,
         )
 
     return (
         tok_part.unionByName(term_part)
         .groupBy("doc_id")
-        .applyInPandas(fn, REFERENCE_PAIRS_SCHEMA)
+        .applyInPandas(
+            fn, REFERENCE_PATTERN_SCHEMA if with_patterns else REFERENCE_PAIRS_SCHEMA
+        )
     )
 
 

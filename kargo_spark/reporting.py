@@ -97,8 +97,12 @@ def stats_table_latex(
     reference's hard-coded Train Set dash."""
     cs, ts = corpus_stats, terms_stats
     cols = list(cs)
-    tcols = list(ts)
-    dash = ["-"] * (len(cols) - len(tcols))
+
+    def _term_vals(key, fmt=str):
+        # index by corpus NAME, not position: positional dash-padding put
+        # term rows under the wrong corpus headers whenever the terms dict
+        # wasn't exactly the trailing corpora in order (r02 ADVICE low #4)
+        return [fmt(ts[c][key]) if c in ts else "-" for c in cols]
     out = " & ".join([" "] + ["\\textbf{" + c + "}" for c in cols]) + "\\\\ \\hline\n"
     out += _row("Total documents", [str(cs[c]["length"]) for c in cols])
     out += _row("Total sentences", [str(cs[c]["#sents"]) for c in cols])
@@ -107,7 +111,7 @@ def stats_table_latex(
     out += _row("Total nouns", [str(cs[c]["#nouns"]) for c in cols])
     out += _row("Total verbs", [str(cs[c]["#verbs"]) for c in cols])
     out += _row("Total adjectives", [str(cs[c]["#adjs"]) for c in cols])
-    out += _row("Total terms", dash + [str(ts[c]["total_terms"]) for c in tcols])
+    out += _row("Total terms", _term_vals("total_terms"))
     out += _row("Unique Lemma", [str(cs[c]["unique_lemma"]) for c in cols])
     out += (
         " & ".join(
@@ -122,7 +126,7 @@ def stats_table_latex(
     )
     out += _row(
         "Terms per document",
-        dash + ["{:.2f}".format(ts[c]["terms_p_document"]) for c in tcols],
+        _term_vals("terms_p_document", "{:.2f}".format),
     )
     out += _row(
         "Tokens per sentence",
@@ -142,7 +146,7 @@ def stats_table_latex(
     )
     out += _row(
         "Tokens per terms",
-        dash + ["{:.2f}".format(ts[c]["words_p_terms"]) for c in tcols],
+        _term_vals("words_p_terms", "{:.2f}".format),
     )
     return out
 

@@ -155,3 +155,47 @@ def test_commit_after_rollback_never_reuses_snapshot_ids(spark, tmp_path):
     # snapshot 2's data survives: time travel still returns its 3 rows
     assert t.read(snapshot_id=s2).count() == 3
     assert t.read().count() == 7
+
+
+def test_commit_optimistic_concurrency_collision(spark, tmp_path):
+    """A writer that loses the version-file race must retry against the
+    winner's state instead of overwriting it (r02 ADVICE med #1)."""
+    import json
+    import os
+
+    from kargo_spark.iceberg_lite import IcebergLiteTable
+
+    root = str(tmp_path / "tbl")
+    t = IcebergLiteTable(spark, root)
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    s1 = t.commit(df, "overwrite")
+
+    # simulate a concurrent winner: claim v2 out from under the next commit
+    winner_meta = t._metadata()
+    with open(os.path.join(t.meta_dir, "v2.metadata.json"), "w") as f:
+        json.dump(winner_meta, f)
+
+    s2 = t.commit(spark.createDataFrame([(2, "b")], "id long, v string"), "overwrite")
+    assert s2 > s1
+    # the loser committed at v3, past the claimed file, losing nothing
+    assert t.current_version() == 3
+    assert {r["id"] for r in t.read().collect()} == {2}
+    # history intact: both real snapshots retained
+    assert [s["snapshot_id"] for s in t.snapshots()][-1] == s2
+
+
+def test_current_version_probes_past_stale_hint(spark, tmp_path):
+    """The hint is a hint (Iceberg HadoopTableOperations): a stale pointer
+    must not hide a newer committed version."""
+    from kargo_spark.iceberg_lite import IcebergLiteTable
+
+    root = str(tmp_path / "tbl2")
+    t = IcebergLiteTable(spark, root)
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    df2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    t.commit(df1, "overwrite")
+    t.commit(df2, "overwrite")
+    with open(t._hint_path(), "w") as f:
+        f.write("1")  # stale
+    assert t.current_version() == 2
+    assert {r["id"] for r in t.read().collect()} == {2}
