@@ -326,3 +326,92 @@ def read_relation_labels_flat(spark, path: str) -> DataFrame:
             F.explode("pairs").alias("pair_key", "label"),
         )
     )
+
+
+ANNO_EXPORT_SCHEMA = (
+    "id long, text string, "
+    "annotations array<struct<label: int>>, "
+    "meta struct<doc_id: string, sent_id: int, cooc_no: int, "
+    "dataset: string, anno_id: long, "
+    "anno_label: array<struct<label: int>>>"
+)
+
+
+def convert_anno_jsonl_to_labels(spark, path: str, no_label: int) -> DataFrame:
+    """Doccano relation-annotation export -> flat label rows — the
+    reference's RelationExtractor.convert_anno_json_to_labels
+    (kargo/relations.py): ``text`` is ``before__head__between__tail__after``,
+    label = 0 iff the first annotation equals ``no_label`` else 1 (an
+    unannotated row is an implicit YES).
+
+    Returns (row_idx, doc_id, sent_id, pair_key, label) with row_idx =
+    file order, so ``labels_nested_json`` can reproduce the reference's
+    insertion-ordered artifact byte-for-byte (last duplicate wins there,
+    exactly like the reference's repeated dict assignment).
+    """
+    raw = spark.read.text(path).withColumn(
+        "row_idx", F.monotonically_increasing_id()
+    )
+    parsed = raw.select(
+        "row_idx", F.from_json("value", ANNO_EXPORT_SCHEMA).alias("r")
+    )
+    parts = F.split(F.col("r.text"), "__")
+    label = F.when(
+        (F.size("r.annotations") > 0)
+        & (F.col("r.annotations")[0]["label"] == F.lit(no_label)),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    return parsed.select(
+        "row_idx",
+        F.col("r.meta.doc_id").alias("doc_id"),
+        F.col("r.meta.sent_id").alias("sent_id"),
+        F.concat_ws(
+            "|", F.element_at(parts, 2), F.element_at(parts, 4)
+        ).alias("pair_key"),
+        label.alias("label"),
+    )
+
+
+def labels_nested_json(labels: DataFrame) -> dict:
+    """Flat label rows -> the reference's nested artifact shape
+    ``{doc_id: {sent_id: {"head|tail": 0/1}}}`` with file insertion order
+    and last-duplicate-wins (RelationExtractor.convert_anno_json_to_labels
+    writes exactly this via json.dump(indent=2)). Annotation exports are
+    human-sized — the collect here is a few hundred rows, never corpus
+    data."""
+    out: dict = {}
+    for r in labels.orderBy("row_idx").collect():
+        out.setdefault(r["doc_id"], {}).setdefault(str(r["sent_id"]), {})[
+            r["pair_key"]
+        ] = int(r["label"])
+    return out
+
+
+def review_agreement(spark, path: str, label_mapping: dict | None = None) -> DataFrame:
+    """Annotation-review agreement rollup — the reference's
+    RelationExtractor-adjacent ``check_review`` (kargo/relations.py):
+    previous label = mapping of the first original annotation (implicit
+    YES when none), review label = mapping of the first review
+    annotation; counts per (prev_label, review_label). The reference
+    prints agree/disagree scalars; here the full confusion rollup comes
+    back as (prev_label, review_label, n)."""
+    mapping = label_mapping or {
+        19: "NO", 20: "YES", 21: "NO", 22: "YES",
+        28: "NO", 29: "YES", 30: "UNSURE",
+    }
+    parsed = spark.read.text(path).select(
+        F.from_json("value", ANNO_EXPORT_SCHEMA).alias("r")
+    )
+    map_expr = F.create_map(
+        *[F.lit(x) for kv in mapping.items() for x in kv]
+    )
+    prev = F.when(
+        F.size(F.coalesce(F.col("r.meta.anno_label"), F.array())) > 0,
+        map_expr[F.col("r.meta.anno_label")[0]["label"]],
+    ).otherwise(F.lit("YES"))
+    review = map_expr[F.col("r.annotations")[0]["label"]]
+    return (
+        parsed.select(prev.alias("prev_label"), review.alias("review_label"))
+        .groupBy("prev_label", "review_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
