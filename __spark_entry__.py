@@ -923,6 +923,36 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_singlerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SingleRank through the LIBRARY path (graph_rank.single_rank — pke
+    SingleRank, main.py:123-128): per-doc window-10 co-occurrence graph,
+    weighted PageRank, candidate score = its word's rank. Pinning
+    (iters=3, tol=0) makes the per-doc power iteration SQL-unrollable, so
+    the DuckDB oracle certifies the shipped applyInPandas ranker (r02
+    verdict next-step #8 — moves a per-doc graph ranker from rows-only to
+    oracle-checked). Every token gets candidate POS so the graph covers
+    the full word stream; candidates = words of length >= 3."""
+    from kargo_spark.graph_rank import single_rank
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.posexplode(_toks(F.col("text"))).alias("i", "word")
+    ).select(
+        "doc_id",
+        F.lit(1).alias("sentence_id"),
+        F.col("i").alias("token_id"),
+        "word",
+        F.lit("NOUN").alias("pos"),
+    )
+    cands = tok.filter(F.length("word") >= 3).select(
+        "doc_id", F.col("word").alias("lemma_term"), F.col("word").alias("term")
+    )
+    out = single_rank(tok, cands, window=10, iters=3, tol=0.0)
+    return out.select(
+        "doc_id", F.col("ngram").alias("word"), F.round("score", 6).alias("score")
+    )
+
+
 def q_word_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed corpus PageRank over the adjacent-word co-occurrence
     graph (same salted per-partition-merged kernel as ``corpus_pagerank``,
@@ -990,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "multimodal_features": q_multimodal_features,
         "transfer_relations": q_transfer_relations,
+        "singlerank": q_singlerank,
         # rows-only (no SQL oracle):
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
@@ -1717,6 +1748,70 @@ def oracle_sql() -> dict[str, str]:
                 ) c ON v.ngram = c.dst
             )
             SELECT ngram, round(score, 6) AS score FROM r3
+        """,
+        "singlerank": f"""
+            WITH wp AS ({word_pos}),
+            tok AS (SELECT doc_id, word, pos - 1 AS i FROM wp),
+            co AS (
+                SELECT a.doc_id, a.word AS src, b.word AS dst,
+                       count(*)::DOUBLE AS w
+                FROM tok a JOIN tok b
+                  ON a.doc_id = b.doc_id
+                 AND b.i - a.i BETWEEN 1 AND 9 AND a.word <> b.word
+                GROUP BY 1, 2, 3
+            ),
+            sym AS (
+                SELECT doc_id, src, dst, sum(w) AS weight FROM (
+                    SELECT doc_id, src, dst, w FROM co
+                    UNION ALL
+                    SELECT doc_id, dst AS src, src AS dst, w FROM co
+                ) GROUP BY 1, 2, 3
+            ),
+            outw AS (
+                SELECT doc_id, src, sum(weight) AS out_w FROM sym GROUP BY 1, 2
+            ),
+            fr AS (
+                SELECT s.doc_id, s.src, s.dst, s.weight / o.out_w AS frac
+                FROM sym s JOIN outw o ON s.doc_id = o.doc_id AND s.src = o.src
+            ),
+            v AS (SELECT DISTINCT doc_id, word AS ngram FROM tok),
+            nn AS (SELECT doc_id, count(*)::DOUBLE AS n FROM v GROUP BY 1),
+            r0 AS (
+                SELECT v.doc_id, v.ngram, 1.0 / nn.n AS score
+                FROM v JOIN nn USING (doc_id)
+            ),
+            r1 AS (
+                SELECT v.doc_id, v.ngram,
+                       0.15 / nn.n + 0.85 * coalesce(c.contrib, 0.0) AS score
+                FROM v JOIN nn USING (doc_id) LEFT JOIN (
+                    SELECT fr.doc_id, fr.dst, sum(r0.score * fr.frac) AS contrib
+                    FROM fr JOIN r0
+                      ON fr.doc_id = r0.doc_id AND fr.src = r0.ngram
+                    GROUP BY fr.doc_id, fr.dst
+                ) c ON v.doc_id = c.doc_id AND v.ngram = c.dst
+            ),
+            r2 AS (
+                SELECT v.doc_id, v.ngram,
+                       0.15 / nn.n + 0.85 * coalesce(c.contrib, 0.0) AS score
+                FROM v JOIN nn USING (doc_id) LEFT JOIN (
+                    SELECT fr.doc_id, fr.dst, sum(r1.score * fr.frac) AS contrib
+                    FROM fr JOIN r1
+                      ON fr.doc_id = r1.doc_id AND fr.src = r1.ngram
+                    GROUP BY fr.doc_id, fr.dst
+                ) c ON v.doc_id = c.doc_id AND v.ngram = c.dst
+            ),
+            r3 AS (
+                SELECT v.doc_id, v.ngram,
+                       0.15 / nn.n + 0.85 * coalesce(c.contrib, 0.0) AS score
+                FROM v JOIN nn USING (doc_id) LEFT JOIN (
+                    SELECT fr.doc_id, fr.dst, sum(r2.score * fr.frac) AS contrib
+                    FROM fr JOIN r2
+                      ON fr.doc_id = r2.doc_id AND fr.src = r2.ngram
+                    GROUP BY fr.doc_id, fr.dst
+                ) c ON v.doc_id = c.doc_id AND v.ngram = c.dst
+            )
+            SELECT doc_id, ngram AS word, round(score, 6) AS score
+            FROM r3 WHERE length(ngram) >= 3
         """,
         "transfer_relations": f"""
             WITH wp AS ({word_pos}),

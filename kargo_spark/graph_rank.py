@@ -24,6 +24,13 @@ from pyspark.sql import functions as F
 
 RANK_SCHEMA = "doc_id string, ngram string, term string, score double"
 
+
+def _rank_schema(df) -> str:
+    """Output schema with the caller's doc_id type (string corpus ids vs
+    long synthetic ids — Arrow refuses int64 under a string schema)."""
+    id_type = df.schema["doc_id"].dataType.simpleString()
+    return f"doc_id {id_type}, ngram string, term string, score double"
+
 _CAND_POS = {"NOUN", "PROPN", "ADJ", "NUM"}
 
 
@@ -50,7 +57,8 @@ def _pagerank_numpy(adj: np.ndarray, personalization: np.ndarray | None = None,
     return r
 
 
-def _doc_rank(pdf: pd.DataFrame, window: int, position_bias: bool) -> pd.DataFrame:
+def _doc_rank(pdf: pd.DataFrame, window: int, position_bias: bool,
+              iters: int = 50, tol: float = 1e-6) -> pd.DataFrame:
     """SingleRank (position_bias=False) / PositionRank (True) for one doc.
 
     Graph nodes = lowercased candidate-POS words; edges = co-occurrence
@@ -79,7 +87,7 @@ def _doc_rank(pdf: pd.DataFrame, window: int, position_bias: bool) -> pd.DataFra
                 adj[wi, wj] += 1.0
                 adj[wj, wi] += 1.0
             j += 1
-    ranks = _pagerank_numpy(adj, pers if position_bias else None)
+    ranks = _pagerank_numpy(adj, pers if position_bias else None, iters=iters, tol=tol)
     wscore = {w: ranks[i] for w, i in vocab.items()}
     out = []
     for ngram, term in (
@@ -90,9 +98,9 @@ def _doc_rank(pdf: pd.DataFrame, window: int, position_bias: bool) -> pd.DataFra
     return pd.DataFrame(out, columns=["doc_id", "ngram", "term", "score"])
 
 
-def _make_rank_fn(window: int, position_bias: bool):
+def _make_rank_fn(window: int, position_bias: bool, iters: int = 50, tol: float = 1e-6):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _doc_rank(pdf, window, position_bias)
+        return _doc_rank(pdf, window, position_bias, iters=iters, tol=tol)
 
     return fn
 
@@ -117,15 +125,22 @@ def _rank_input(tokens: DataFrame, cands: DataFrame) -> DataFrame:
     return tok_part.unionByName(cand_part)
 
 
-def single_rank(tokens: DataFrame, cands: DataFrame, window: int = 10) -> DataFrame:
+def single_rank(
+    tokens: DataFrame, cands: DataFrame, window: int = 10,
+    iters: int = 50, tol: float = 1e-6,
+) -> DataFrame:
+    """``iters``/``tol`` pass through to the power iteration; pinning
+    (iters=3, tol=0) makes the ranking SQL-unrollable, which is how the
+    driver's singlerank oracle certifies this code path (same device as
+    the word_pagerank oracle)."""
     return _rank_input(tokens, cands).groupBy("doc_id").applyInPandas(
-        _make_rank_fn(window, False), RANK_SCHEMA
+        _make_rank_fn(window, False, iters=iters, tol=tol), _rank_schema(tokens)
     )
 
 
 def position_rank(tokens: DataFrame, cands: DataFrame, window: int = 10) -> DataFrame:
     return _rank_input(tokens, cands).groupBy("doc_id").applyInPandas(
-        _make_rank_fn(window, True), RANK_SCHEMA
+        _make_rank_fn(window, True), _rank_schema(tokens)
     )
 
 
@@ -222,7 +237,7 @@ def topic_rank(cands: DataFrame) -> DataFrame:
     """pke TopicRank parity shape (main.py:129-135): per-doc applyInPandas."""
     inp = cands.select("doc_id", F.col("lemma_term").alias("ngram"), "term", "offset_begin")
     return inp.groupBy("doc_id").applyInPandas(
-        lambda pdf: _doc_topic_rank(pdf, multipartite=False), RANK_SCHEMA
+        lambda pdf: _doc_topic_rank(pdf, multipartite=False), _rank_schema(cands)
     )
 
 
@@ -230,7 +245,7 @@ def multipartite_rank(cands: DataFrame) -> DataFrame:
     """pke MultipartiteRank parity shape (main.py:136-141)."""
     inp = cands.select("doc_id", F.col("lemma_term").alias("ngram"), "term", "offset_begin")
     return inp.groupBy("doc_id").applyInPandas(
-        lambda pdf: _doc_topic_rank(pdf, multipartite=True), RANK_SCHEMA
+        lambda pdf: _doc_topic_rank(pdf, multipartite=True), _rank_schema(cands)
     )
 
 

@@ -102,9 +102,14 @@ def ivf_topk(
         c.orderBy(F.xxhash64("nbr_id", F.lit(seed))).limit(max(n_centroids * 20, 256))
         .select("cv").toPandas()["cv"].tolist()
     )
-    rng_idx = np.argsort(
-        np.array([hash((seed, i)) % (2**32) for i in range(len(sample))])
-    )[:n_centroids]
+    # md5-based choice, not Python hash() — deterministic by construction
+    # and consistent with the repo's no-Python-hash rule (dedup docstring)
+    import hashlib
+
+    def _h(i: int) -> int:
+        return int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
+
+    rng_idx = np.argsort(np.array([_h(i) for i in range(len(sample))]))[:n_centroids]
     cents = sample[rng_idx]
     # one Lloyd step on the sample
     sims = sample @ cents.T
