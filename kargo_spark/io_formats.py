@@ -415,3 +415,28 @@ def review_agreement(spark, path: str, label_mapping: dict | None = None) -> Dat
         .groupBy("prev_label", "review_label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def sample_relations_to_annotate(
+    rows: DataFrame,
+    frac: float = 0.1,
+    seed: int = 42,
+    strata_cols: tuple[str, ...] = ("dataset", "label"),
+) -> DataFrame:
+    """Seeded stratified annotation sampling — the reference's
+    ``get_sample_relations`` (kargo/relations.py: 10% per
+    (dataset, YES/NO) stratum via random.sample) made reproducible: an
+    md5-keyed per-stratum rank window takes ceil(frac * n) rows per
+    stratum deterministically (the reference's unseeded random.sample
+    can't be replayed; same rate, stable choice)."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws("#", F.lit(str(seed)), *[F.col(c).cast("string") for c in rows.columns]))
+    w = Window.partitionBy(*strata_cols).orderBy(key)
+    n = Window.partitionBy(*strata_cols)
+    return (
+        rows.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(n))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(frac)))
+        .drop("__rn", "__n")
+    )

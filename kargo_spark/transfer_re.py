@@ -168,3 +168,32 @@ def relations_by_type(typed: DataFrame, max_members: int = 16) -> DataFrame:
         .agg(F.sort_array(F.collect_list("member")).alias("members"))
     )
     return counts.join(bounded, "relation").select("relation", "support", "members")
+
+
+def locate_spans(
+    pairs: DataFrame,
+    text_col: str = "context",
+    head_col: str = "head",
+    tail_col: str = "tail",
+) -> DataFrame:
+    """Glue from the engine's pair tables (surfaces + context text) to the
+    span-based TransferRE input: first-occurrence char spans via instr —
+    the same first-match convention the reference's annotation tooling
+    uses on reconstructed sentence text. Rows whose surfaces cannot be
+    located (0 from instr) are dropped rather than given bogus spans."""
+    hb = F.expr(f"instr({text_col}, {head_col})")
+    tb = F.expr(f"instr({text_col}, {tail_col})")
+    return (
+        pairs.withColumn("__hb", hb)
+        .withColumn("__tb", tb)
+        .filter((F.col("__hb") > 0) & (F.col("__tb") > 0))
+        .select(
+            "*",
+            (F.col("__hb") - 1).cast("long").alias("head_begin"),
+            (F.col("__hb") - 1 + F.length(head_col)).cast("long").alias("head_end"),
+            (F.col("__tb") - 1).cast("long").alias("tail_begin"),
+            (F.col("__tb") - 1 + F.length(tail_col)).cast("long").alias("tail_end"),
+        )
+        .drop("__hb", "__tb")
+        .withColumnRenamed(text_col, "text")
+    )

@@ -88,3 +88,45 @@ def test_relations_by_type_bounded(spark):
     roll = tre.relations_by_type(typed, max_members=1).collect()
     assert sum(r["support"] for r in roll) == 3
     assert all(len(r["members"]) <= 1 for r in roll)
+
+
+def test_locate_spans_glue(spark):
+    pairs = spark.createDataFrame(
+        [
+            (1, 0, 0, "the acme hub links the big port", "acme hub", "big port"),
+            (1, 0, 1, "nothing matches here", "absent", "also absent"),
+        ],
+        "doc_id long, sent_id int, cooc_no int, context string, head string, tail string",
+    )
+    out = tre.locate_spans(pairs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["text"][r["head_begin"]:r["head_end"]] == "acme hub"
+    assert r["text"][r["tail_begin"]:r["tail_end"]] == "big port"
+    # end-to-end into the typed stage
+    typed = tre.transfer_re(tre.locate_spans(pairs), prob_threshold=0.0).collect()
+    assert len(typed) == 1 and typed[0]["head_words"] == "acme hub"
+
+
+def test_sample_relations_stratified_seeded(spark):
+    from kargo_spark.io_formats import sample_relations_to_annotate
+
+    rows = spark.createDataFrame(
+        [(f"t{i}", "dev" if i % 2 else "test", "YES" if i % 3 else "NO")
+         for i in range(60)],
+        "text string, dataset string, label string",
+    )
+    s1 = {r["text"] for r in sample_relations_to_annotate(rows, 0.2).collect()}
+    s2 = {r["text"] for r in sample_relations_to_annotate(rows, 0.2).collect()}
+    assert s1 == s2 and len(s1) > 0
+    # per-stratum rate: ceil(0.2 * n) rows each
+    import math
+    from collections import Counter
+
+    strata = Counter((r["dataset"], r["label"]) for r in rows.collect())
+    got = Counter(
+        (r["dataset"], r["label"])
+        for r in sample_relations_to_annotate(rows, 0.2).collect()
+    )
+    for k, n in strata.items():
+        assert got[k] == math.ceil(0.2 * n)
