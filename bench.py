@@ -215,7 +215,12 @@ def run_pipeline_throughput() -> dict:
     spark = get_spark(app_name="kargo_scaling", master=f"local[{CPUS}]")
     # tiny warm-up so JVM/Arrow/Python-worker startup is excluded
     _count_and_release(*_lazy_triples(spark, synth_documents(spark, n_rows=50)))
-    docs = synth_documents(spark, n_rows=SCALING_DOCS, words_per_doc=SCALING_WORDS)
+    # distinct_paths: without it docs_clean's (repo,path,commit) dedup
+    # collapses any corpus to ~10k real docs (synth path space cap) and the
+    # "scaling" measurement degenerates to fixed work — round-3 finding
+    docs = synth_documents(
+        spark, n_rows=SCALING_DOCS, words_per_doc=SCALING_WORDS, distinct_paths=True
+    )
     docs = docs.repartition(int(CPUS) * 4).persist()
     n_docs = docs.count()
     t0 = time.time()

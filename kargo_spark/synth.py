@@ -43,11 +43,20 @@ def synth_documents(
     giant_every: int = 97,
     dup_every: int = 13,
     empty_every: int = 29,
+    distinct_paths: bool = False,
 ) -> DataFrame:
     """Build the (repo, path, commit, lang, content) input table.
 
     Deterministic in (n_rows, seed, ...): same args -> byte-identical rows,
     so per-row sha256 invariants hold across runs (BASELINE.json input_hint).
+
+    ``distinct_paths=True`` makes every row's (repo, path) unique: the
+    default path space (~500 mod names x languages) caps distinct
+    (repo, path, commit) keys near 10k, and docs_clean's key dedup then
+    collapses ANY larger corpus to ~10k real documents — fine for
+    correctness fixtures, fatal for throughput measurement (a "200k-doc"
+    scaling corpus was silently ~10k docs of real work past the first
+    stage; discovered round 3). Scaling benches must set it.
     """
     df = spark.range(n_rows).withColumnRenamed("id", "i")
     h = F.abs(F.xxhash64(F.col("i"), F.lit(seed)))
@@ -57,7 +66,10 @@ def synth_documents(
             "path",
             F.concat(
                 F.lit("src/pkg/mod_"),
-                (F.abs(F.xxhash64(F.col("i"), F.lit(seed + 1))) % 500).cast("string"),
+                (
+                    F.col("i") if distinct_paths
+                    else (F.abs(F.xxhash64(F.col("i"), F.lit(seed + 1))) % 500)
+                ).cast("string"),
                 F.lit("."),
                 F.element_at(F.array(*[F.lit(x) for x in LANGS]), (h % len(LANGS) + 1).cast("int")),
             ),
