@@ -112,8 +112,13 @@ YAKE_SCHEMA = "doc_id string, ngram string, term string, score double"
 YAKE_WINDOW = 2  # pke YAKE default co-occurrence window
 
 
-def _yake_word_scores(words_orig, words_low, sents, token_ids, window=YAKE_WINDOW):
-    """Full YAKE per-word features (Campos et al., the algorithm behind
+def _yake_word_scores_ref(words_orig, words_low, sents, token_ids, window=YAKE_WINDOW):
+    """Reference (loop) implementation of the YAKE word features — kept as
+    the parity oracle for the vectorized `_yake_word_scores` (a pytest
+    asserts equality on randomized docs); the vectorized path is what
+    ships in the hot applyInPandas stage.
+
+    Full YAKE per-word features (Campos et al., the algorithm behind
     pke YAKE used at reference main.py:115-121):
 
       TCase  = max(TF_upper, TF_acronym) / (1 + ln(TF))
@@ -161,6 +166,79 @@ def _yake_word_scores(words_orig, words_low, sents, token_ids, window=YAKE_WINDO
         t_sent = len(sset) / n_sents
         wscore[w] = (t_pos * t_rel) / (t_case + t_fnorm / t_rel + t_sent / t_rel)
     return wscore
+
+
+def _yake_word_scores(words_orig, words_low, sents, token_ids, window=YAKE_WINDOW):
+    """Vectorized YAKE word features — numerically identical to
+    ``_yake_word_scores_ref`` (same elementwise formulas, same medians,
+    same window edge handling; asserted by test) but O(n) numpy instead
+    of a per-token Python loop with set updates: the doc-local stage was
+    the costliest Python in the headline bench."""
+    n = len(words_low)
+    if n == 0:
+        return {}
+    lw = pd.Series(words_low, dtype=object)
+    ow = pd.Series(words_orig, dtype=object)
+    codes, uniques = pd.factorize(lw)
+    u = len(uniques)
+    tf = np.bincount(codes, minlength=u).astype(float)
+
+    # positions (global enumeration index) -> per-word median
+    pos = np.arange(n, dtype=float)
+    med = pd.Series(pos).groupby(codes).median().reindex(range(u)).to_numpy()
+
+    # sentence spread: distinct sids per word
+    sent_arr = np.asarray(sents, dtype=np.int64)
+    uniq_ws = {(c, s) for c, s in zip(codes, sent_arr)}
+    nsw = np.bincount(
+        np.fromiter((c for c, _ in uniq_ws), dtype=np.int64, count=len(uniq_ws)),
+        minlength=u,
+    ).astype(float)
+    n_sents = max(1, int(sent_arr.max()))
+
+    # casing: all-upper multi-char (ref st[4]) else capitalized non-initial
+    # (ref st[3]); max of the two feeds TCase
+    is_upper = ow.str.isupper().to_numpy(dtype=bool) & (ow.str.len() > 1).to_numpy(dtype=bool)
+    tid_arr = np.asarray(token_ids, dtype=np.int64)
+    first_cap = ow.str[:1].str.isupper().fillna(False).to_numpy(dtype=bool)
+    is_acr = (~is_upper) & first_cap & (tid_arr > 1)
+    tfa = np.bincount(codes, weights=is_upper.astype(float), minlength=u)
+    tfu = np.bincount(codes, weights=is_acr.astype(float), minlength=u)
+
+    # window-2 context: left/right totals + distinct neighbor words
+    ldis = np.zeros(u)
+    rdis = np.zeros(u)
+    ltot = np.zeros(u)
+    rtot = np.zeros(u)
+    lpairs: set = set()
+    rpairs: set = set()
+    for off in range(1, window + 1):
+        if off >= n + 1:
+            break
+        # left neighbor at distance off exists for occurrences i >= off
+        c = codes[off:]
+        nb = codes[:-off] if off else codes
+        np.add.at(ltot, c, 1.0)
+        lpairs.update(zip(c.tolist(), nb.tolist()))
+        # right neighbor at distance off exists for i <= n-1-off
+        np.add.at(rtot, codes[:-off], 1.0)
+        rpairs.update(zip(codes[:-off].tolist(), codes[off:].tolist()))
+    for c, _ in lpairs:
+        ldis[c] += 1.0
+    for c, _ in rpairs:
+        rdis[c] += 1.0
+
+    mean_f, std_f = tf.mean(), tf.std() or 1.0
+    max_f = tf.max()
+    t_case = np.maximum(tfu, tfa) / (1.0 + np.log(tf))
+    t_pos = np.log(np.log(3 + med))
+    t_fnorm = tf / (mean_f + std_f)
+    dl = np.divide(ldis, ltot, out=np.zeros(u), where=ltot > 0)
+    dr = np.divide(rdis, rtot, out=np.zeros(u), where=rtot > 0)
+    t_rel = 1.0 + (dl + dr) * tf / max_f
+    t_sent = nsw / n_sents
+    s = (t_pos * t_rel) / (t_case + t_fnorm / t_rel + t_sent / t_rel)
+    return {w: float(s[i]) for i, w in enumerate(uniques)}
 
 
 def _yake_doc(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -147,3 +147,26 @@ def test_yake_full_features_casing_helps():
     # dhl and network: same tf (2), adjacent positions, same sentences —
     # only casing differs
     assert ws["dhl"] < ws["network"]
+
+
+def test_yake_vectorized_matches_reference_loop():
+    """The shipping vectorized YAKE word features must equal the loop
+    reference implementation bit-for-bit on randomized docs (casing,
+    medians, window edges, single-token docs)."""
+    import random
+
+    from kargo_spark.weighting import _yake_word_scores, _yake_word_scores_ref
+
+    rng = random.Random(11)
+    vocab = ["cargo", "Pharma", "HUB", "a1", "X", "chain", "COOL2", "Freight"]
+    for trial in range(30):
+        n = rng.choice([1, 2, 3, 7, 40, 150])
+        words = [rng.choice(vocab) for _ in range(n)]
+        lows = [w.lower() for w in words]
+        sents = [i // 10 + 1 for i in range(n)]
+        tids = [i % 10 + 1 for i in range(n)]
+        ref = _yake_word_scores_ref(words, lows, sents, tids)
+        vec = _yake_word_scores(words, lows, sents, tids)
+        assert set(ref) == set(vec)
+        for w in ref:
+            assert vec[w] == ref[w], (trial, w, vec[w], ref[w])
