@@ -55,16 +55,29 @@ def run_bench() -> dict:
         queries[name](spark, "/root/testdata/sf0.001").count()
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
+    # min over KARGO_BENCH_REPS passes per query: this host is shared and
+    # another tenant's bursts land MID-RUN (single-pass outliers of 4-5x
+    # were observed at 1-min loadavg < 1) — the minimum is the least-
+    # interfered measurement of the same deterministic plan
+    reps = int(os.environ.get("KARGO_BENCH_REPS", "2"))
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
+        best, n = None, 0
+        for _ in range(reps):
+            # drop plan-matched cache entries left by a previous pass of
+            # the same query (CacheManager matches canonicalized plans, so
+            # a rerun of a query that persists internally would otherwise
+            # measure cache hits, not the pipeline)
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
         if name == "kg_pipeline_triples":
             extra["triples"] = n
-            extra["triples_per_sec"] = round(n / dt, 2)
+            extra["triples_per_sec"] = round(n / best, 2)
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     return {
