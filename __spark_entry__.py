@@ -655,15 +655,21 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming radius 8 (h+1 = 9 bands -> full
-    recall at radius h by pigeonhole). No SQL oracle: the 64-bit simhash
-    is built from per-token xxhash64 bit votes, which DuckDB cannot
-    reproduce; correctness is covered by pytest planted-pair tests
-    (Hamming 5/8) and the band-recall contract test."""
-    from kargo_spark.dedup import simhash_pairs
+    """SimHash near-dup pairs at Hamming radius 8 through the library's
+    block-combination banded join (full recall at the radius by
+    pigeonhole — C(12,4) tables of >= 16-bit keys). Token hashes are
+    md5-derived (dedup.md5_token_hash60) so DuckDB reproduces the exact
+    simhash values and the oracle — an exact ALL-PAIRS Hamming join —
+    certifies the banding's full-recall guarantee end to end (r02 left
+    this rows-only because xxhash64 has no DuckDB twin). Zero-token docs
+    are excluded on both sides (their simhash would be 0 = a spurious
+    mutual match)."""
+    from kargo_spark.dedup import md5_token_hash60, simhash_pairs
 
-    d = _docs(spark, sf_dir)
-    return simhash_pairs(d, "text", "doc_id", max_hamming=8)
+    d = _docs(spark, sf_dir).filter(F.size(_toks(F.col("text"))) > 0)
+    return simhash_pairs(
+        d, "text", "doc_id", max_hamming=8, token_hash=md5_token_hash60
+    )
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1021,8 +1027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "transfer_relations": q_transfer_relations,
         "singlerank": q_singlerank,
-        # rows-only (no SQL oracle):
         "simhash_neardup": q_simhash_neardup,
+        # rows-only (no SQL oracle):
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1812,6 +1818,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, ngram AS word, round(score, 6) AS score
             FROM r3 WHERE length(ngram) >= 3
+        """,
+        "simhash_neardup": f"""
+            WITH th AS (
+                SELECT doc_id,
+                       CAST('0x' || substring(md5(word), 1, 15) AS BIGINT) AS h
+                FROM (SELECT doc_id, unnest({toks}) AS word FROM documents)
+            ),
+            votes AS (
+                SELECT doc_id, b.bit,
+                       sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) b
+                GROUP BY doc_id, b.bit
+            ),
+            sim AS (
+                SELECT doc_id,
+                       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS sim
+                FROM votes GROUP BY doc_id
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   bit_count(xor(a.sim, b.sim))::INT AS hamming
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 8
         """,
         "transfer_relations": f"""
             WITH wp AS ({word_pos}),

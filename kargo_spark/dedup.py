@@ -195,7 +195,18 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "do
     return docs.join(losers, id_col, "left_anti")
 
 
-def simhash64(col, seed: int = 42):
+def md5_token_hash60(t):
+    """60-bit token hash from md5 (15 hex chars) — SQL-reproducible
+    (DuckDB: CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)), unlike
+    xxhash64. SimHash built on it leaves bits 60-63 at zero (every vote
+    is -1 there), which only narrows the informative bit range; banding
+    and verify are unchanged. Used by the oracle-checked driver query so
+    the banded join's full-recall guarantee is certified against an exact
+    all-pairs Hamming oracle."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash64(col, seed: int = 42, token_hash=None):
     """64-bit SimHash JVM-side: per token hash -> ±1 per bit -> sign of sum.
 
     Single-pass formulation: ONE aggregate over the token-hash array with a
@@ -203,9 +214,15 @@ def simhash64(col, seed: int = 42):
     one fold packs the sign vector into the long. The naive form (64
     separate aggregates, one per bit) re-traverses the token array 64x and
     blows up codegen — this version is O(tokens) per row.
+
+    ``token_hash``: Column function token -> long; default seeded
+    xxhash64 (fastest), ``md5_token_hash60`` for SQL-reproducibility.
     """
     toks = _tokens(col)
-    th = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+    if token_hash is None:
+        th = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+    else:
+        th = F.transform(toks, token_hash)
     idx = F.sequence(F.lit(0), F.lit(63))
     zero = F.array_repeat(F.lit(0).cast("long"), 64)
     # DataFrame-API shiftright/shiftleft require literal shift counts; the
@@ -353,10 +370,14 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     seed: int = 42,
+    token_hash=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band-blocked Hamming join with full
     recall up to ``max_hamming`` (see ``simhash_pairs_from_hashes``)."""
-    sh = docs.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), seed).alias("sim"))
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        simhash64(F.col(text_col), seed, token_hash=token_hash).alias("sim"),
+    )
     return simhash_pairs_from_hashes(sh, max_hamming=max_hamming)
 
 
