@@ -782,61 +782,106 @@ def q_transfer_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedrank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EmbedRank MMR top-5 per doc (terms.py:216-235 semantics)."""
-    from kargo_spark import candidates as C
-    from kargo_spark import nlp
+    """EmbedRank MMR through the LIBRARY path (embedrank.embedrank_scores —
+    reference terms.py:184-235: hashing-embedder doc/candidate vectors,
+    beta=0.55 MMR). Oracle pinning (the simhash/singlerank device):
+    candidates = distinct words of length >= 7, which embed to exactly
+    ±e_{md5 % 64} under the md5-derived hashing embedder, so candidate
+    similarity and doc relevance are DuckDB-reproducible and the 3-round
+    MMR selection loop SQL-unrolls. alias_threshold=2.0 disables alias
+    collapse (the greedy rep chain is order-recursive, not
+    SQL-expressible; collapse semantics stay pytest-covered in
+    tests/test_rankers_io.py)."""
     from kargo_spark.embedrank import embedrank_scores
 
-    d = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    w = d.select(
+        "doc_id", F.explode(F.array_distinct(_toks(F.col("content")))).alias("word")
+    ).filter(F.length("word") >= 7)
+    cands = w.select(
+        "doc_id", F.col("word").alias("lemma_term"), F.col("word").alias("term")
     )
-    toks = nlp.tokenize(d)
-    cands = C.filter_candidates(C.mine_candidates(nlp.sentences_with_tokens(toks)))
-    return embedrank_scores(d, cands, n=5)
+    return embedrank_scores(d, cands, n=3, alias_threshold=2.0)
 
 
 def q_topic_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TopicRank per-doc candidate-topic PageRank (pke parity shape)."""
-    from kargo_spark import candidates as C
-    from kargo_spark import nlp
+    """TopicRank through the LIBRARY path (graph_rank.topic_rank — pke
+    TopicRank, main.py:129-135): per-doc topic graph weighted by inverse
+    occurrence-offset distance, topic PageRank, first-occurring candidate
+    per topic scored. Oracle pinning: single-word candidates make every
+    topic a singleton (word-overlap Jaccard between distinct words is 0 <
+    0.25), so the topic graph IS the candidate graph, and iters=3/tol=0
+    SQL-unrolls the power iteration (singlerank precedent)."""
     from kargo_spark.graph_rank import topic_rank
 
-    d = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
+    d = _docs(spark, sf_dir)
+    occ = d.select(
+        "doc_id", F.posexplode(_toks(F.col("text"))).alias("i", "word")
+    ).filter(F.length("word") >= 6)
+    cands = occ.select(
+        "doc_id",
+        F.col("word").alias("lemma_term"),
+        F.col("word").alias("term"),
+        F.col("i").cast("long").alias("offset_begin"),
     )
-    toks = nlp.tokenize(d)
-    cands = C.filter_candidates(C.mine_candidates(nlp.sentences_with_tokens(toks)))
-    return topic_rank(cands)
+    return topic_rank(cands, iters=3, tol=0.0).select(
+        "doc_id", "ngram", "term", F.round("score", 6).alias("score")
+    )
 
 
 def q_corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level term-co-occurrence PageRank (north_star: per-partition
-    contributions merged each iteration) over the documents table."""
-    from kargo_spark import candidates as C
-    from kargo_spark import nlp
+    contributions merged each iteration) through the LIBRARY path —
+    cooccurrence_edges (sentence-sharing candidate pairs with occurrence
+    multiplicity) + the salted distributed_pagerank kernel. Oracle
+    pinning: sentence buckets of 8 tokens + words >= 5 chars are pure
+    Column ops, and iters=3 SQL-unrolls (word_pagerank precedent — this
+    query additionally certifies the cooccurrence_edges builder)."""
     from kargo_spark.graph_rank import cooccurrence_edges, distributed_pagerank
 
-    d = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.posexplode(_toks(F.col("text"))).alias("i", "word")
+    ).filter(F.length("word") >= 5)
+    cands = tok.select(
+        "doc_id",
+        F.floor(F.col("i") / 8).alias("sentence_id"),
+        F.col("word").alias("lemma_term"),
     )
-    toks = nlp.tokenize(d)
-    cands = C.filter_candidates(C.mine_candidates(nlp.sentences_with_tokens(toks)))
-    return distributed_pagerank(cooccurrence_edges(cands), iters=5).select(
-        "ngram", F.round("score", 8).alias("score")
+    return distributed_pagerank(cooccurrence_edges(cands), iters=3).select(
+        "ngram", F.round("score", 6).alias("score")
     )
 
 
 def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """get_summary parity rollup (reference corpus.py:603-669): per-doc
-    sentence / POS / NER / lemma counts over the annotated token table
-    (heuristic NER+POS from the mapInPandas stage — rows-only check)."""
-    from kargo_spark import nlp
+    """get_summary parity rollup through the LIBRARY path
+    (corpus.corpus_summary — reference corpus.py:603-669: per-doc sentence
+    / POS / NER / lemma counts). Oracle pinning: the token table is
+    SQL-shaped — md5-derived POS tag, planted B-<type> NER on long words,
+    strip-trailing-s lemma, 10-token sentences — so the rollup itself
+    (sentence NE flags, POS class sums, distinct-lemma counts) is
+    DuckDB-certified; the heuristic mapInPandas annotator keeps its pytest
+    + kg_pipeline coverage."""
     from kargo_spark.corpus import corpus_summary
 
-    d = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
+    d = _docs(spark, sf_dir)
+    w = d.select("doc_id", F.posexplode(_toks(F.col("text"))).alias("i", "word"))
+    h = F.conv(F.substring(F.md5(F.col("word")), 1, 4), 16, 10).cast("long")
+    pos_arr = F.array(*[F.lit(p) for p in ("NOUN", "VERB", "ADJ", "PROPN", "ADV", "DET")])
+    ner_arr = F.array(*[F.lit(t) for t in ("ORG", "LOC", "PER")])
+    tokens = w.select(
+        "doc_id",
+        (F.floor(F.col("i") / 10) + 1).alias("sentence_id"),
+        F.col("i").alias("token_id"),
+        "word",
+        F.element_at(pos_arr, (h % 6 + 1).cast("int")).alias("pos"),
+        F.when(
+            F.length("word") >= 10,
+            F.concat(F.lit("B-"), F.element_at(ner_arr, (h % 3 + 1).cast("int"))),
+        ).otherwise(F.lit("O")).alias("ner"),
+        F.regexp_replace("word", "s$", "").alias("lemma"),
     )
-    doc_stats, _, _ = corpus_summary(nlp.tokenize(d))
+    doc_stats, _, _ = corpus_summary(tokens)
     return doc_stats
 
 
@@ -1028,20 +1073,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transfer_relations": q_transfer_relations,
         "singlerank": q_singlerank,
         "simhash_neardup": q_simhash_neardup,
+        "embedrank": q_embedrank,
+        "topic_rank": q_topic_rank,
+        "corpus_pagerank": q_corpus_pagerank,
+        "corpus_summary": q_corpus_summary,
         # rows-only (no SQL oracle):
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "kg_pipeline_triples": q_kg_pipeline_triples,
-        "embedrank": q_embedrank,
-        "topic_rank": q_topic_rank,
-        "corpus_pagerank": q_corpus_pagerank,
         "lda_topics": q_lda_topics,
-        "corpus_summary": q_corpus_summary,
     }
 
 
 _TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _LE64(md5_expr: str) -> str:
+    """DuckDB expression: little-endian uint64 of the first 8 bytes of an
+    md5 hex string — ``int.from_bytes(md5(x).digest()[:8], 'little')``,
+    the exact integer embedding._hash_token derives (the byte pairs of the
+    hex string are reversed, then parsed as one 16-hex-digit UBIGINT)."""
+    rev = " || ".join(f"substring(({md5_expr}), {i}, 2)" for i in (15, 13, 11, 9, 7, 5, 3, 1))
+    return f"CAST('0x' || {rev} AS UBIGINT)"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1886,5 +1940,261 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, sent_id, cooc_no, relation, prob, head_words, tail_words
             FROM typed WHERE prob >= 0.5
+        """,
+        # --- embedrank: md5-derived hashing embedder + 3-round MMR unroll.
+        # Single-token candidates embed to exactly ±e_{h%64}; the doc vector
+        # is the signed bucket-count vector over tokens+bigrams, L2-norm'd.
+        # h = little-endian uint64 of md5('42:'||feat)[:8] (embedding.py
+        # _hash_token); sign = bit 62; bucket = h % 64. MMR (beta=0.55):
+        # round r picks argmax(0.55*doc_sim - 0.45*max_sim_to_selected),
+        # ties by (doc_sim DESC, term) order — numpy argmax over the
+        # rep-ordered rest list. score = n_selected - rank.
+        "embedrank": f"""
+            WITH docarr AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                   x -> x <> '') AS arr
+                FROM documents
+            ),
+            docfeat AS (
+                SELECT doc_id, unnest(list_concat(
+                    arr,
+                    list_transform(range(1, greatest(len(arr) - 1, 0) + 1),
+                                   i -> arr[i] || '_' || arr[i + 1])
+                )) AS t
+                FROM docarr
+            ),
+            dhash AS (
+                SELECT doc_id, {_LE64("md5('42:' || t)")} AS h FROM docfeat
+            ),
+            dvec AS (
+                SELECT doc_id, (h % 64)::INT AS bkt,
+                       sum(CASE WHEN (h >> 62) & 1 = 1 THEN 1 ELSE -1 END)::DOUBLE AS v
+                FROM dhash GROUP BY 1, 2
+            ),
+            dnorm AS (SELECT doc_id, sqrt(sum(v * v)) AS nv FROM dvec GROUP BY 1),
+            cand0 AS (
+                SELECT DISTINCT doc_id, word
+                FROM (SELECT doc_id, unnest({toks}) AS word FROM documents)
+                WHERE length(word) >= 7
+            ),
+            candh AS (
+                SELECT doc_id, word, {_LE64("md5('42:' || word)")} AS h FROM cand0
+            ),
+            cand AS (
+                SELECT c.doc_id, c.word, (c.h % 64)::INT AS bkt,
+                       CASE WHEN (c.h >> 62) & 1 = 1 THEN 1 ELSE -1 END AS sgn,
+                       CASE WHEN n.nv > 0
+                            THEN (CASE WHEN (c.h >> 62) & 1 = 1 THEN 1 ELSE -1 END)
+                                 * coalesce(v.v, 0.0) / n.nv
+                            ELSE 0.0 END AS ds
+                FROM candh c
+                JOIN dnorm n USING (doc_id)
+                LEFT JOIN dvec v ON v.doc_id = c.doc_id AND v.bkt = (c.h % 64)::INT
+            ),
+            c AS (
+                SELECT cand.*,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY ds DESC, word) AS rn
+                FROM cand
+            ),
+            s1 AS (SELECT * FROM c WHERE rn = 1),
+            m2 AS (
+                SELECT c.*,
+                       0.55 * c.ds - 0.45 * (CASE WHEN c.bkt = s1.bkt
+                                                  THEN (c.sgn * s1.sgn)::DOUBLE
+                                                  ELSE 0.0 END) AS mmr
+                FROM c JOIN s1 ON c.doc_id = s1.doc_id AND c.rn <> s1.rn
+            ),
+            s2 AS (
+                SELECT * FROM (
+                    SELECT m2.*, row_number() OVER (PARTITION BY doc_id
+                                                    ORDER BY mmr DESC, rn) AS pick
+                    FROM m2
+                ) WHERE pick = 1
+            ),
+            m3 AS (
+                SELECT c.*,
+                       0.55 * c.ds - 0.45 * greatest(
+                           CASE WHEN c.bkt = s1.bkt THEN (c.sgn * s1.sgn)::DOUBLE ELSE 0.0 END,
+                           CASE WHEN c.bkt = s2.bkt THEN (c.sgn * s2.sgn)::DOUBLE ELSE 0.0 END
+                       ) AS mmr
+                FROM c
+                JOIN s1 ON c.doc_id = s1.doc_id
+                JOIN s2 ON c.doc_id = s2.doc_id
+                WHERE c.rn <> s1.rn AND c.rn <> s2.rn
+            ),
+            s3 AS (
+                SELECT * FROM (
+                    SELECT m3.*, row_number() OVER (PARTITION BY doc_id
+                                                    ORDER BY mmr DESC, rn) AS pick
+                    FROM m3
+                ) WHERE pick = 1
+            ),
+            nc AS (SELECT doc_id, count(*) AS n FROM c GROUP BY 1),
+            sel AS (
+                SELECT doc_id, word, 0 AS r FROM s1
+                UNION ALL SELECT doc_id, word, 1 FROM s2
+                UNION ALL SELECT doc_id, word, 2 FROM s3
+            )
+            SELECT s.doc_id, s.word AS ngram, s.word AS term,
+                   (least(nc.n, 3) - s.r)::DOUBLE AS score,
+                   '' AS aliases
+            FROM sel s JOIN nc USING (doc_id)
+        """,
+        # --- topic_rank: singleton topics (single-word candidates), topic
+        # graph = candidate graph weighted by sum over occurrence pairs of
+        # 1/(|oi-oj|+1), diagonal zeroed; uniform-restart PageRank unrolled
+        # 3 iterations (iters=3/tol=0 pinning, singlerank precedent).
+        "topic_rank": f"""
+            WITH occ AS (
+                SELECT doc_id, word, (pos - 1)::DOUBLE AS i
+                FROM ({word_pos}) WHERE length(word) >= 6
+            ),
+            adj AS (
+                SELECT a.doc_id, a.word AS src, b.word AS dst,
+                       sum(1.0 / (abs(a.i - b.i) + 1.0)) AS weight
+                FROM occ a JOIN occ b
+                  ON a.doc_id = b.doc_id AND a.word <> b.word
+                GROUP BY 1, 2, 3
+            ),
+            outw AS (SELECT doc_id, src, sum(weight) AS out_w FROM adj GROUP BY 1, 2),
+            fr AS (
+                SELECT s.doc_id, s.src, s.dst, s.weight / o.out_w AS frac
+                FROM adj s JOIN outw o ON s.doc_id = o.doc_id AND s.src = o.src
+            ),
+            v AS (SELECT DISTINCT doc_id, word AS ngram FROM occ),
+            nn AS (SELECT doc_id, count(*)::DOUBLE AS n FROM v GROUP BY 1),
+            r0 AS (
+                SELECT v.doc_id, v.ngram, 1.0 / nn.n AS score
+                FROM v JOIN nn USING (doc_id)
+            ),
+            r1 AS (
+                SELECT v.doc_id, v.ngram,
+                       0.15 / nn.n + 0.85 * coalesce(c.contrib, 0.0) AS score
+                FROM v JOIN nn USING (doc_id) LEFT JOIN (
+                    SELECT fr.doc_id, fr.dst, sum(r0.score * fr.frac) AS contrib
+                    FROM fr JOIN r0
+                      ON fr.doc_id = r0.doc_id AND fr.src = r0.ngram
+                    GROUP BY fr.doc_id, fr.dst
+                ) c ON v.doc_id = c.doc_id AND v.ngram = c.dst
+            ),
+            r2 AS (
+                SELECT v.doc_id, v.ngram,
+                       0.15 / nn.n + 0.85 * coalesce(c.contrib, 0.0) AS score
+                FROM v JOIN nn USING (doc_id) LEFT JOIN (
+                    SELECT fr.doc_id, fr.dst, sum(r1.score * fr.frac) AS contrib
+                    FROM fr JOIN r1
+                      ON fr.doc_id = r1.doc_id AND fr.src = r1.ngram
+                    GROUP BY fr.doc_id, fr.dst
+                ) c ON v.doc_id = c.doc_id AND v.ngram = c.dst
+            ),
+            r3 AS (
+                SELECT v.doc_id, v.ngram,
+                       0.15 / nn.n + 0.85 * coalesce(c.contrib, 0.0) AS score
+                FROM v JOIN nn USING (doc_id) LEFT JOIN (
+                    SELECT fr.doc_id, fr.dst, sum(r2.score * fr.frac) AS contrib
+                    FROM fr JOIN r2
+                      ON fr.doc_id = r2.doc_id AND fr.src = r2.ngram
+                    GROUP BY fr.doc_id, fr.dst
+                ) c ON v.doc_id = c.doc_id AND v.ngram = c.dst
+            )
+            SELECT doc_id, ngram, ngram AS term, round(score, 6) AS score FROM r3
+        """,
+        # --- corpus_pagerank: cooccurrence_edges (pairs of candidate
+        # occurrences sharing a (doc, 8-token sentence bucket), src < dst,
+        # occurrence multiplicity) + the word_pagerank 3-iteration unroll.
+        "corpus_pagerank": f"""
+            WITH cp_tok AS (
+                SELECT doc_id, word, (pos - 1) // 8 AS sid
+                FROM ({word_pos}) WHERE length(word) >= 5
+            ),
+            edges AS (
+                SELECT a.word AS src, b.word AS dst, count(*)::DOUBLE AS weight
+                FROM cp_tok a JOIN cp_tok b
+                  ON a.doc_id = b.doc_id AND a.sid = b.sid AND a.word < b.word
+                GROUP BY 1, 2
+            ),
+            sym AS (
+                SELECT src, dst, weight FROM edges
+                UNION ALL
+                SELECT dst AS src, src AS dst, weight FROM edges
+            ),
+            outw AS (SELECT src, sum(weight) AS out_w FROM sym GROUP BY src),
+            fr AS (
+                SELECT s.src, s.dst, s.weight / o.out_w AS frac
+                FROM sym s JOIN outw o ON s.src = o.src
+            ),
+            v AS (SELECT DISTINCT src AS ngram FROM sym),
+            n AS (SELECT count(*)::DOUBLE AS n FROM v),
+            r0 AS (SELECT ngram, 1.0 / (SELECT n FROM n) AS score FROM v),
+            r1 AS (
+                SELECT v.ngram, (1 - 0.85) / (SELECT n FROM n)
+                       + 0.85 * coalesce(c.contrib, 0.0) AS score
+                FROM v LEFT JOIN (
+                    SELECT fr.dst, sum(r0.score * fr.frac) AS contrib
+                    FROM fr JOIN r0 ON fr.src = r0.ngram GROUP BY fr.dst
+                ) c ON v.ngram = c.dst
+            ),
+            r2 AS (
+                SELECT v.ngram, (1 - 0.85) / (SELECT n FROM n)
+                       + 0.85 * coalesce(c.contrib, 0.0) AS score
+                FROM v LEFT JOIN (
+                    SELECT fr.dst, sum(r1.score * fr.frac) AS contrib
+                    FROM fr JOIN r1 ON fr.src = r1.ngram GROUP BY fr.dst
+                ) c ON v.ngram = c.dst
+            ),
+            r3 AS (
+                SELECT v.ngram, (1 - 0.85) / (SELECT n FROM n)
+                       + 0.85 * coalesce(c.contrib, 0.0) AS score
+                FROM v LEFT JOIN (
+                    SELECT fr.dst, sum(r2.score * fr.frac) AS contrib
+                    FROM fr JOIN r2 ON fr.src = r2.ngram GROUP BY fr.dst
+                ) c ON v.ngram = c.dst
+            )
+            SELECT ngram, round(score, 6) AS score FROM r3
+        """,
+        # --- corpus_summary: SQL-shaped token table (md5-derived POS,
+        # planted NER on len>=10 words, strip-s lemma, 10-token sentences)
+        # through the corpus_summary rollup semantics (corpus.py:603-669).
+        "corpus_summary": f"""
+            WITH wp0 AS (
+                SELECT doc_id, unnest({toks}) AS word,
+                       unnest(range(0, len({toks}))) AS i
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, i // 10 + 1 AS sentence_id, word,
+                       (['NOUN','VERB','ADJ','PROPN','ADV','DET'])[
+                           (CAST('0x' || substring(md5(word), 1, 4) AS BIGINT) % 6)::INT + 1
+                       ] AS pos,
+                       CASE WHEN length(word) >= 10
+                            THEN 'B-' || (['ORG','LOC','PER'])[
+                                (CAST('0x' || substring(md5(word), 1, 4) AS BIGINT) % 3)::INT + 1
+                            ]
+                            ELSE 'O' END AS ner,
+                       regexp_replace(word, 's$', '') AS lemma
+                FROM wp0
+            ),
+            sent AS (
+                SELECT doc_id, sentence_id,
+                       max(CASE WHEN ner <> 'O' THEN 1 ELSE 0 END) AS has_ne
+                FROM tok GROUP BY 1, 2
+            ),
+            sents AS (
+                SELECT doc_id, count(*) AS n_sents, sum(has_ne)::BIGINT AS n_sents_w_ne
+                FROM sent GROUP BY 1
+            ),
+            doc AS (
+                SELECT doc_id, count(*) AS n_toks,
+                       sum(CASE WHEN pos IN ('NOUN','PROPN') THEN 1 ELSE 0 END)::BIGINT AS n_nouns,
+                       sum(CASE WHEN pos IN ('VERB','AUX') THEN 1 ELSE 0 END)::BIGINT AS n_verbs,
+                       sum(CASE WHEN pos = 'ADJ' THEN 1 ELSE 0 END)::BIGINT AS n_adjs,
+                       sum(CASE WHEN ner <> 'O' THEN 1 ELSE 0 END)::BIGINT AS n_ner,
+                       count(DISTINCT lemma) AS unique_lemma
+                FROM tok GROUP BY 1
+            )
+            SELECT d.doc_id, d.n_toks, d.n_nouns, d.n_verbs, d.n_adjs, d.n_ner,
+                   d.unique_lemma, s.n_sents, s.n_sents_w_ne
+            FROM doc d JOIN sents s USING (doc_id)
         """,
     }

@@ -22,6 +22,14 @@ from .embedding import DEFAULT_DIM, embed_texts_np
 
 EMBEDRANK_SCHEMA = "doc_id string, ngram string, term string, score double, aliases string"
 
+
+def _embedrank_schema(df: DataFrame) -> str:
+    """Output schema inheriting the caller's doc_id type (string corpus
+    ids vs long synthetic ids — Arrow rejects int64 under a string
+    schema; same device as graph_rank._rank_schema)."""
+    id_type = df.schema["doc_id"].dataType.simpleString()
+    return f"doc_id {id_type}, ngram string, term string, score double, aliases string"
+
 _EMPTY = pd.DataFrame(columns=["doc_id", "ngram", "term", "score", "aliases"])
 
 
@@ -100,4 +108,4 @@ def embedrank_scores(
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _mmr_doc(pdf, n, beta, dim, seed, alias_threshold)
 
-    return joined.groupBy("doc_id").applyInPandas(fn, EMBEDRANK_SCHEMA)
+    return joined.groupBy("doc_id").applyInPandas(fn, _embedrank_schema(docs))

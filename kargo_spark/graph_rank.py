@@ -166,7 +166,8 @@ def _topic_clusters(cands: pd.DataFrame, threshold: float = 0.25) -> list[list[i
     return topics
 
 
-def _doc_topic_rank(pdf: pd.DataFrame, multipartite: bool, alpha: float = 1.1) -> pd.DataFrame:
+def _doc_topic_rank(pdf: pd.DataFrame, multipartite: bool, alpha: float = 1.1,
+                    iters: int = 50, tol: float = 1e-6) -> pd.DataFrame:
     """TopicRank (multipartite=False): rank topics by PageRank over a
     complete topic graph weighted by inverse candidate-offset distance;
     score each topic's first-occurring candidate (pke TopicRank semantics).
@@ -215,7 +216,7 @@ def _doc_topic_rank(pdf: pd.DataFrame, multipartite: bool, alpha: float = 1.1) -
         for members in topics:
             first = min(members, key=lambda m: first_off[m])
             pers[first] *= alpha * np.e ** (1.0 / (first_off[first] + 1))
-        ranks = _pagerank_numpy(adj, pers)
+        ranks = _pagerank_numpy(adj, pers, iters=iters, tol=tol)
         rows = [(doc_id, cands["ngram"][i], cands["term"][i], float(ranks[i])) for i in range(n)]
     else:
         k = len(topics)
@@ -224,7 +225,7 @@ def _doc_topic_rank(pdf: pd.DataFrame, multipartite: bool, alpha: float = 1.1) -
         member[np.arange(n), topic_of] = 1.0
         tadj = member.T @ adj @ member
         np.fill_diagonal(tadj, 0.0)
-        tr = _pagerank_numpy(tadj)
+        tr = _pagerank_numpy(tadj, iters=iters, tol=tol)
         first_off = cands["first_off"].to_numpy()
         rows = []
         for t, members in enumerate(topics):
@@ -233,11 +234,18 @@ def _doc_topic_rank(pdf: pd.DataFrame, multipartite: bool, alpha: float = 1.1) -
     return pd.DataFrame(rows, columns=["doc_id", "ngram", "term", "score"])
 
 
-def topic_rank(cands: DataFrame) -> DataFrame:
-    """pke TopicRank parity shape (main.py:129-135): per-doc applyInPandas."""
+def topic_rank(cands: DataFrame, iters: int = 50, tol: float = 1e-6) -> DataFrame:
+    """pke TopicRank parity shape (main.py:129-135): per-doc applyInPandas.
+
+    ``iters``/``tol`` pass through to the topic-graph power iteration;
+    pinning (iters=3, tol=0) makes the ranking SQL-unrollable when fed
+    single-word candidates (every topic is then a singleton, so the topic
+    graph IS the candidate graph) — the device the driver's topic_rank
+    oracle uses to certify this code path."""
     inp = cands.select("doc_id", F.col("lemma_term").alias("ngram"), "term", "offset_begin")
     return inp.groupBy("doc_id").applyInPandas(
-        lambda pdf: _doc_topic_rank(pdf, multipartite=False), _rank_schema(cands)
+        lambda pdf: _doc_topic_rank(pdf, multipartite=False, iters=iters, tol=tol),
+        _rank_schema(cands),
     )
 
 
