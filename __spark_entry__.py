@@ -718,6 +718,45 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb.filter(F.col("vec_id") >= 5), queries, k=5, n_centroids=8)
 
 
+def q_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a first-class driver check (r03 verdict next-step
+    #4): recall@5 of the LSH and IVF approximate paths against the exact
+    cosine top-5, per query. Both approximate paths run in
+    DuckDB-reproducible configurations — LSH with md5-derived ±1
+    hyperplanes, IVF with md5-ordered centroid sampling — so the oracle
+    independently rebuilds the buckets/centroids/probe sets AND the exact
+    top-5, then recomputes the same recall numbers."""
+    from kargo_spark.similarity import brute_force_topk, ivf_topk, lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(corpus, queries_df, k=5).select("query_id", "nbr_id")
+    qids = queries_df.select("query_id")
+    nex = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+
+    def _recall(approx: DataFrame, variant: str) -> DataFrame:
+        hit = approx.select("query_id", "nbr_id").join(
+            exact.withColumn("__e", F.lit(1)), ["query_id", "nbr_id"], "left"
+        )
+        per = hit.groupBy("query_id").agg(
+            F.sum(F.coalesce(F.col("__e"), F.lit(0))).alias("n_hit")
+        )
+        per = qids.join(per, "query_id", "left").fillna({"n_hit": 0})
+        return per.join(nex, "query_id").select(
+            F.lit(variant).alias("variant"),
+            "query_id",
+            F.col("n_hit").cast("long").alias("n_hit"),
+            (F.col("n_hit") / F.col("n_exact")).alias("recall"),
+        )
+
+    lsh = lsh_topk(corpus, queries_df, k=5, plane_dist="rademacher_md5")
+    ivf = ivf_topk(corpus, queries_df, k=5, n_centroids=8, sample_order="md5")
+    return _recall(lsh, "lsh").unionByName(_recall(ivf, "ivf"))
+
+
 def q_kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full kargo_spark KG pipeline (mapInPandas NLP + candidate mining +
     tf-idf + pairs + triples) over the documents table re-shaped to the
@@ -1077,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_rank": q_topic_rank,
         "corpus_pagerank": q_corpus_pagerank,
         "corpus_summary": q_corpus_summary,
+        "recall_audit": q_recall_audit,
         # rows-only (no SQL oracle):
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
@@ -2196,5 +2236,181 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.n_toks, d.n_nouns, d.n_verbs, d.n_adjs, d.n_ner,
                    d.unique_lemma, s.n_sents, s.n_sents_w_ne
             FROM doc d JOIN sents s USING (doc_id)
+        """,
+        # --- recall_audit: independently rebuild the exact top-5, the
+        # md5-plane LSH buckets (4 tables x 6 planes, seed 42+101*t, sign
+        # = low bit of md5(f"{{seed}}:{{plane}}:{{dim}}")[0]), and the
+        # md5-sampled IVF centroids (256-row md5-ordered sample, 8 init
+        # rows by smallest md5(f"42:{{i}}")[:8], one Lloyd step, normalize,
+        # cosine-assign, 4-probe), then recompute recall@5 per query.
+        "recall_audit": f"""
+            WITH corpus AS (
+                SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id >= 5
+            ),
+            queries AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5
+            ),
+            dims AS (SELECT unnest(range(1, 65)) AS j),
+            exact AS (
+                SELECT query_id, nbr_id FROM (
+                    SELECT q.query_id, c.nbr_id,
+                           row_number() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.nbr_id
+                           ) AS rank
+                    FROM queries q, corpus c
+                ) WHERE rank <= 5
+            ),
+            exn AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1),
+            planes AS (
+                SELECT t.t, p.p, d.j,
+                       CASE WHEN (CAST('0x' || substring(md5(
+                                (42 + 101 * t.t)::VARCHAR || ':' || p.p::VARCHAR
+                                || ':' || (d.j - 1)::VARCHAR), 1, 1) AS INT) & 1) = 1
+                            THEN 1.0 ELSE -1.0 END AS w
+                FROM (SELECT unnest(range(0, 4)) AS t) t,
+                     (SELECT unnest(range(0, 6)) AS p) p,
+                     dims d
+            ),
+            cbits AS (
+                SELECT c.nbr_id, pl.t, pl.p,
+                       CASE WHEN sum(c.cv[pl.j] * pl.w) >= 0 THEN '1' ELSE '0' END AS bit
+                FROM corpus c, planes pl GROUP BY 1, 2, 3
+            ),
+            cbuckets AS (
+                SELECT nbr_id, t, string_agg(bit, '' ORDER BY p) AS bucket
+                FROM cbits GROUP BY 1, 2
+            ),
+            qbits AS (
+                SELECT q.query_id, pl.t, pl.p,
+                       CASE WHEN sum(q.qv[pl.j] * pl.w) >= 0 THEN '1' ELSE '0' END AS bit
+                FROM queries q, planes pl GROUP BY 1, 2, 3
+            ),
+            qbuckets AS (
+                SELECT query_id, t, string_agg(bit, '' ORDER BY p) AS bucket
+                FROM qbits GROUP BY 1, 2
+            ),
+            lsh_cand AS (
+                SELECT DISTINCT q.query_id, c.nbr_id
+                FROM cbuckets c JOIN qbuckets q ON c.t = q.t AND c.bucket = q.bucket
+            ),
+            lsh_top AS (
+                SELECT query_id, nbr_id FROM (
+                    SELECT lc.query_id, lc.nbr_id,
+                           row_number() OVER (
+                               PARTITION BY lc.query_id
+                               ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, lc.nbr_id
+                           ) AS rank
+                    FROM lsh_cand lc
+                    JOIN queries q USING (query_id) JOIN corpus c USING (nbr_id)
+                ) WHERE rank <= 5
+            ),
+            samp AS (
+                SELECT nbr_id, cv, i FROM (
+                    SELECT nbr_id, cv,
+                           row_number() OVER (ORDER BY md5('42:' || nbr_id::VARCHAR)) - 1 AS i
+                    FROM corpus
+                ) WHERE i < 256
+            ),
+            init AS (
+                SELECT hr - 1 AS cid, cv FROM (
+                    SELECT s.cv,
+                           row_number() OVER (
+                               ORDER BY CAST('0x' || substring(md5('42:' || s.i::VARCHAR), 1, 8) AS BIGINT), s.i
+                           ) AS hr
+                    FROM samp s
+                ) WHERE hr <= 8
+            ),
+            sdot AS (
+                SELECT s.i, ic.cid, sum(s.cv[d.j] * ic.cv[d.j]) AS dot
+                FROM samp s, init ic, dims d GROUP BY 1, 2
+            ),
+            sassign AS (
+                SELECT i, cid FROM (
+                    SELECT i, cid,
+                           row_number() OVER (PARTITION BY i ORDER BY dot DESC, cid) AS rn
+                    FROM sdot
+                ) WHERE rn = 1
+            ),
+            cmean AS (
+                SELECT a.cid, d.j, avg(s.cv[d.j]) AS v
+                FROM sassign a JOIN samp s USING (i), dims d GROUP BY 1, 2
+            ),
+            craw AS (
+                SELECT ic.cid, d.j, coalesce(cm.v, ic.cv[d.j]) AS v
+                FROM init ic CROSS JOIN dims d
+                LEFT JOIN cmean cm ON cm.cid = ic.cid AND cm.j = d.j
+            ),
+            cnorm AS (SELECT cid, sqrt(sum(v * v)) AS nv FROM craw GROUP BY 1),
+            cents AS (
+                SELECT c.cid, c.j, c.v / greatest(n.nv, 1e-9) AS v
+                FROM craw c JOIN cnorm n USING (cid)
+            ),
+            centn AS (SELECT cid, sqrt(sum(v * v)) AS n2 FROM cents GROUP BY 1),
+            adot AS (
+                SELECT c.nbr_id, ct.cid, sum(c.cv[ct.j] * ct.v) AS dot
+                FROM corpus c, cents ct GROUP BY 1, 2
+            ),
+            aassign AS (
+                SELECT nbr_id, cid FROM (
+                    SELECT a.nbr_id, a.cid,
+                           row_number() OVER (
+                               PARTITION BY a.nbr_id ORDER BY a.dot / cn.n2 DESC, a.cid
+                           ) AS rn
+                    FROM adot a JOIN centn cn USING (cid)
+                ) WHERE rn = 1
+            ),
+            qdot AS (
+                SELECT q.query_id, ct.cid, sum(q.qv[ct.j] * ct.v) AS dot
+                FROM queries q, cents ct GROUP BY 1, 2
+            ),
+            qprobe AS (
+                SELECT query_id, cid FROM (
+                    SELECT qd.query_id, qd.cid,
+                           row_number() OVER (
+                               PARTITION BY qd.query_id ORDER BY qd.dot / cn.n2 DESC, qd.cid
+                           ) AS rn
+                    FROM qdot qd JOIN centn cn USING (cid)
+                ) WHERE rn <= 4
+            ),
+            ivf_top AS (
+                SELECT query_id, nbr_id FROM (
+                    SELECT qp.query_id, aa.nbr_id,
+                           row_number() OVER (
+                               PARTITION BY qp.query_id
+                               ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, aa.nbr_id
+                           ) AS rank
+                    FROM qprobe qp JOIN aassign aa USING (cid)
+                    JOIN queries q USING (query_id) JOIN corpus c ON c.nbr_id = aa.nbr_id
+                ) WHERE rank <= 5
+            ),
+            qids AS (SELECT DISTINCT query_id FROM queries),
+            lshr AS (
+                SELECT q.query_id, coalesce(h.n_hit, 0) AS n_hit FROM qids q LEFT JOIN (
+                    SELECT l.query_id,
+                           sum(CASE WHEN e.nbr_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+                    FROM lsh_top l LEFT JOIN exact e
+                      ON e.query_id = l.query_id AND e.nbr_id = l.nbr_id
+                    GROUP BY 1
+                ) h ON h.query_id = q.query_id
+            ),
+            ivfr AS (
+                SELECT q.query_id, coalesce(h.n_hit, 0) AS n_hit FROM qids q LEFT JOIN (
+                    SELECT v.query_id,
+                           sum(CASE WHEN e.nbr_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+                    FROM ivf_top v LEFT JOIN exact e
+                      ON e.query_id = v.query_id AND e.nbr_id = v.nbr_id
+                    GROUP BY 1
+                ) h ON h.query_id = q.query_id
+            )
+            SELECT 'lsh' AS variant, r.query_id, r.n_hit::BIGINT AS n_hit,
+                   r.n_hit / x.n_exact::DOUBLE AS recall
+            FROM lshr r JOIN exn x USING (query_id)
+            UNION ALL
+            SELECT 'ivf' AS variant, r.query_id, r.n_hit::BIGINT AS n_hit,
+                   r.n_hit / x.n_exact::DOUBLE AS recall
+            FROM ivfr r JOIN exn x USING (query_id)
         """,
     }

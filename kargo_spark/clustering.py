@@ -89,12 +89,39 @@ def dbscan_exact(vectors: DataFrame, eps: float = 0.325, min_samples: int = 75) 
     )
 
 
-def _lsh_buckets(df: DataFrame, vec_col: str, n_planes: int, seed: int, dim: int) -> DataFrame:
+def _lsh_plane_matrix(n_planes: int, seed: int, dim: int, dist: str) -> np.ndarray:
+    """Hyperplane components. ``gaussian``: seeded standard normals (the
+    default). ``rademacher_md5``: ±1 from the low bit of
+    md5(f"{seed}:{plane}:{dim_index}") — sign-hash quality is equivalent
+    for cosine LSH (Achlioptas-style sparse/±1 projections), and the
+    construction is DuckDB-reproducible, which lets the driver's
+    recall_audit oracle recompute the buckets exactly."""
+    if dist == "rademacher_md5":
+        import hashlib
+
+        return np.array(
+            [
+                [
+                    1.0 if int(hashlib.md5(f"{seed}:{p}:{j}".encode()).hexdigest()[0], 16) & 1
+                    else -1.0
+                    for j in range(dim)
+                ]
+                for p in range(n_planes)
+            ]
+        )
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _lsh_buckets(
+    df: DataFrame, vec_col: str, n_planes: int, seed: int, dim: int,
+    dist: str = "gaussian",
+) -> DataFrame:
     """Random-hyperplane LSH signature as a JVM-side expression: sign of
     dot(vec, plane) per plane, concatenated. Planes are deterministic
-    literals (seeded numpy on the driver, broadcast as array literals)."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    literals (seeded numpy or md5-derived ±1, broadcast as array
+    literals)."""
+    planes = _lsh_plane_matrix(n_planes, seed, dim, dist)
     bits = []
     for p in planes:
         plane = F.array(*[F.lit(float(x)) for x in p])

@@ -55,17 +55,20 @@ def lsh_topk(
     n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
+    plane_dist: str = "gaussian",
 ) -> DataFrame:
     """ANN top-k: candidates = corpus rows sharing any LSH bucket with the
-    query across n_tables hash tables; exact cosine re-rank of candidates."""
+    query across n_tables hash tables; exact cosine re-rank of candidates.
+    ``plane_dist="rademacher_md5"`` makes the buckets (and hence recall)
+    DuckDB-reproducible for the driver's recall_audit oracle."""
     from .clustering import _lsh_buckets
 
     c = corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("cv"))
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
     cb, qb = None, None
     for t in range(n_tables):
-        cbt = _lsh_buckets(c, "cv", n_planes, seed + 101 * t, dim).withColumn("table", F.lit(t))
-        qbt = _lsh_buckets(q, "qv", n_planes, seed + 101 * t, dim).withColumn("table", F.lit(t))
+        cbt = _lsh_buckets(c, "cv", n_planes, seed + 101 * t, dim, plane_dist).withColumn("table", F.lit(t))
+        qbt = _lsh_buckets(q, "qv", n_planes, seed + 101 * t, dim, plane_dist).withColumn("table", F.lit(t))
         cb = cbt if cb is None else cb.unionByName(cbt)
         qb = qbt if qb is None else qb.unionByName(qbt)
     cand = (
@@ -91,15 +94,24 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    sample_order: str = "xxhash",
 ) -> DataFrame:
     """IVF ANN: coarse quantizer = deterministic sampled centroids refined
     by one Lloyd iteration (driver-side numpy on a bounded sample), corpus
     assigned to nearest centroid (this is the 'inverted file'); each query
-    probes its n_probe nearest centroids' lists only."""
+    probes its n_probe nearest centroids' lists only.
+    ``sample_order="md5"`` orders the centroid-init sample by
+    md5(f"{seed}:{id}") instead of xxhash64 — same determinism, but
+    DuckDB-reproducible so the driver's recall_audit oracle can rebuild
+    the centroids (and hence the probe sets) exactly."""
     c = corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("cv"))
     # bounded, seeded sample for centroid init (never full collect)
+    if sample_order == "md5":
+        order = F.md5(F.concat(F.lit(f"{seed}:"), F.col("nbr_id").cast("string")))
+    else:
+        order = F.xxhash64("nbr_id", F.lit(seed))
     sample = np.array(
-        c.orderBy(F.xxhash64("nbr_id", F.lit(seed))).limit(max(n_centroids * 20, 256))
+        c.orderBy(order).limit(max(n_centroids * 20, 256))
         .select("cv").toPandas()["cv"].tolist()
     )
     # md5-based choice, not Python hash() — deterministic by construction
