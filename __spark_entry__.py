@@ -430,6 +430,20 @@ def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_hop(q_triples_agg(spark, sf_dir), max_mid_degree=2)
 
 
+def q_graph_2hop_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same 2-hop semantics as ``graph_2hop`` but through the bucketed
+    graph store (storage.write_bucketed: both join sides bucketed+sorted
+    on the middle key) — the self-join runs with zero Exchange, and the
+    query RAISES if the executed plan ever re-introduces one. Certifies
+    that the pay-the-shuffle-once table layout produces identical results
+    to the plain path (shared oracle SQL)."""
+    from kargo_spark.graph_store import two_hop_bucketed
+
+    return two_hop_bucketed(
+        q_triples_agg(spark, sf_dir), max_mid_degree=2, prefix="kargo_2hop_drv"
+    )
+
+
 def q_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P@k (evaluation.py:44-52): preds = tf-idf top-5 words per doc, gold =
     words of length >= 8 occurring in the doc; cumulative correct / k,
@@ -1091,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_agg": q_triples_agg,
         "graph_nodes": q_graph_nodes,
         "graph_2hop": q_graph_2hop,
+        "graph_2hop_bucketed": q_graph_2hop_bucketed,
         "precision_at_k": q_precision_at_k,
         "lang_quality": q_lang_quality,
         "token_counts": q_token_counts,
@@ -1203,7 +1218,7 @@ def oracle_sql() -> dict[str, str]:
             "be been it its this that these those they their we you he she not no"
         ).split()
     )
-    return {
+    out = {
         "docs_clean": f"""
             SELECT doc_id,
                    right(md5(doc_id::VARCHAR), 6) AS doc_hex,
@@ -2414,3 +2429,6 @@ def oracle_sql() -> dict[str, str]:
             FROM ivfr r JOIN exn x USING (query_id)
         """,
     }
+    # identical semantics through the bucketed store — same oracle
+    out["graph_2hop_bucketed"] = out["graph_2hop"]
+    return out

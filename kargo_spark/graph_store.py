@@ -58,6 +58,64 @@ def two_hop(triples: DataFrame, max_mid_degree: int | None = None) -> DataFrame:
     )
 
 
+def two_hop_bucketed(
+    triples: DataFrame,
+    max_mid_degree: int | None = None,
+    prefix: str = "kargo_2hop",
+    n_buckets: int = 16,
+    assert_shuffle_free: bool = True,
+) -> DataFrame:
+    """``two_hop`` with the self-join routed through bucketed tables —
+    the 100-TB substrate engaged end-to-end (r03 verdict next-step #5).
+
+    The two join sides (t1 keyed by its middle = hop.obj, t2 keyed by its
+    middle = hop.subj) are persisted as tables bucketed+sorted on ``mid``
+    with the same bucket count, so the join on ``mid`` runs with ZERO
+    Exchange on either side: the shuffle is paid once at write time and
+    amortized over every later 2-hop / merge pass, which is exactly the
+    economics that matter when the hop table is 10^12 rows. With
+    ``assert_shuffle_free`` the function RAISES if the executed join plan
+    contains a hash-partitioning Exchange, making the layout property an
+    operational contract rather than a hope. Results are identical to
+    ``two_hop`` (same hub guard, same aggregation).
+    """
+    from .storage import write_bucketed
+
+    spark = triples.sparkSession
+    hop = triples.groupBy("subj", "obj").agg(F.sum("support").alias("support"))
+    t1 = hop.select(
+        F.col("subj").alias("src"), F.col("obj").alias("mid"), F.col("support").alias("s1")
+    )
+    t2 = hop.select(
+        F.col("subj").alias("mid"), F.col("obj").alias("dst"), F.col("support").alias("s2")
+    )
+    if max_mid_degree is not None:
+        hot = (
+            t2.groupBy("mid").agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") > max_mid_degree)
+        )
+        t1 = t1.join(hot, "mid", "left_anti")
+        t2 = t2.join(hot, "mid", "left_anti")
+    write_bucketed(t1, f"{prefix}_t1", ["mid"], n_buckets)
+    write_bucketed(t2, f"{prefix}_t2", ["mid"], n_buckets)
+    joined = spark.table(f"{prefix}_t1").join(spark.table(f"{prefix}_t2"), "mid")
+    if assert_shuffle_free:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange hashpartitioning" in plan:
+            raise AssertionError(
+                "bucketed 2-hop join planned a shuffle — bucket layout not "
+                "engaged (check bucket counts / join key):\n" + plan
+            )
+    return (
+        joined.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(
+            F.countDistinct("mid").alias("n_paths"),
+            F.sum(F.least("s1", "s2")).alias("path_support"),
+        )
+    )
+
+
 def graph_tables(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(subj, pred, obj, support) -> (nodes, edges).
 

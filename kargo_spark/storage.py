@@ -34,6 +34,19 @@ def write_bucketed(
     scale. Sorting within buckets makes the later SortMergeJoin skip its
     sort too.
     """
+    if mode == "overwrite":
+        # a managed-table location can outlive its catalog entry (fresh
+        # in-memory metastore over an old warehouse dir): overwrite would
+        # then fail with LOCATION_ALREADY_EXISTS, so drop + clear first
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        if warehouse.startswith("file:"):
+            import shutil
+            from urllib.parse import urlparse
+
+            loc = f"{urlparse(warehouse).path}/{table.lower()}"
+            shutil.rmtree(loc, ignore_errors=True)
     writer = (
         df.write.mode(mode)
         .bucketBy(n_buckets, *bucket_cols)
