@@ -102,6 +102,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.8,
     seed: int = 42,
     max_bucket_size: int | None = 1000,
+    capped_stats: dict | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding + exact Jaccard verify.
 
@@ -123,6 +124,12 @@ def minhash_lsh_pairs(
     probability stays near the banding S-curve; the cap only binds on
     buckets that were never informative (shared stop-shingle, not shared
     content). Set ``None`` to disable (exact parity / tiny corpora).
+
+    Per the repo's no-silent-caps convention (r03 ADVICE low #1): pass a
+    dict as ``capped_stats`` and it is filled with
+    ``{"dropped_buckets": int, "dropped_rows": int}`` — how often and how
+    hard the cap actually bound on this corpus (one extra small job; the
+    default path stays lazy).
     """
     if bands is None:
         bands = derive_bands(num_hashes, jaccard_threshold)
@@ -154,9 +161,19 @@ def minhash_lsh_pairs(
             banded.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") > max_bucket_size)
-            .select("band", "bucket")
         )
-        banded = banded.join(hot_buckets, ["band", "bucket"], "left_anti")
+        if capped_stats is not None:
+            row = hot_buckets.agg(
+                F.count(F.lit(1)).alias("b"), F.coalesce(F.sum("n"), F.lit(0)).alias("r")
+            ).collect()[0]
+            capped_stats["dropped_buckets"] = int(row["b"])
+            capped_stats["dropped_rows"] = int(row["r"])
+        banded = banded.join(
+            hot_buckets.select("band", "bucket"), ["band", "bucket"], "left_anti"
+        )
+    elif capped_stats is not None:
+        capped_stats["dropped_buckets"] = 0
+        capped_stats["dropped_rows"] = 0
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -186,11 +203,23 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", **kw) -> DataFrame:
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 1000,
+    capped_stats: dict | None = None,
+    **kw,
+) -> DataFrame:
     """Documents surviving near-dup removal: drop the larger id of each
     verified pair (transitively safe for dedup purposes: every removed doc
-    has a kept near-duplicate)."""
-    pairs = minhash_lsh_pairs(docs, text_col, id_col, **kw)
+    has a kept near-duplicate). The hot-bucket cap and its observability
+    hook plumb through explicitly (r03 ADVICE low #1) — see
+    ``minhash_lsh_pairs``."""
+    pairs = minhash_lsh_pairs(
+        docs, text_col, id_col,
+        max_bucket_size=max_bucket_size, capped_stats=capped_stats, **kw,
+    )
     losers = pairs.select(F.col("b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
 

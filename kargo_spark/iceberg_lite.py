@@ -68,14 +68,24 @@ class IcebergLiteTable:
         return v if v > 0 else None
 
     def _metadata(self, version: int | None = None) -> dict | None:
-        v = self.current_version() if version is None else version
-        if v is None:
-            return None
-        try:
-            with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as f:
-                return json.load(f)
-        except (OSError, json.JSONDecodeError):
-            return None
+        """Metadata at ``version`` (default: current). With the os.link
+        publish a version file is never partial, but for defense in depth
+        the default path falls back to version-1 if the newest file fails
+        to parse (e.g. a pre-upgrade torn file) instead of treating the
+        table as empty — which would let a later commit wipe history."""
+        if version is not None:
+            try:
+                with open(os.path.join(self.meta_dir, f"v{version}.metadata.json")) as f:
+                    return json.load(f)
+            except (OSError, json.JSONDecodeError):
+                return None
+        v = self.current_version()
+        while v is not None and v > 0:
+            m = self._metadata(v)
+            if m is not None:
+                return m
+            v -= 1
+        return None
 
     def exists(self) -> bool:
         return self._metadata() is not None
@@ -135,6 +145,16 @@ class IcebergLiteTable:
         data_dir = None
         pcounts = None
         for _ in range(20):
+            # capture the version BEFORE deriving state, and claim
+            # exactly cur_v+1: if a racer commits in between, our os.link
+            # at cur_v+1 collides with the version it took and we retry
+            # from its state — we can never claim a later version with a
+            # stale snapshot list (which would erase the racer's snapshot
+            # from history). State itself comes from _metadata()'s
+            # newest-parseable fallback, so an unparseable (pre-os.link
+            # torn) newest file is skipped rather than read as "empty
+            # table".
+            cur_v = self.current_version()
             prev = self._metadata()
             parent_id = prev["current_snapshot_id"] if prev else None
             # new id = max over history, NOT parent+1: after rollback(1)
@@ -152,7 +172,7 @@ class IcebergLiteTable:
                         f"{parent_schema}, append brings {df.schema.simpleString()}"
                     )
             snapshot_id = max_id + 1
-            version = (self.current_version() or 0) + 1
+            version = (cur_v or 0) + 1
 
             if data_dir is None:
                 # write data ONCE, to a dir no other writer can pick:
@@ -196,23 +216,34 @@ class IcebergLiteTable:
 
     def _commit_metadata(self, version: int, meta: dict) -> bool:
         """Iceberg's atomic swap, made safe for concurrent writers: the
-        metadata version file is claimed with O_CREAT|O_EXCL (a loser sees
-        FileExistsError -> False and retries at the next version), then the
-        hint pointer is swapped via ``os.replace`` (atomic rename). The
-        pointer is last-writer-wins but only a HINT — ``current_version``
-        probes past it, so a stale pointer never hides a committed version.
+        metadata JSON is fully written to a process-unique temp file and
+        published with ``os.link`` — the final ``v{N}.metadata.json``
+        either doesn't exist or is COMPLETE, never claimed-but-empty (the
+        old O_EXCL-then-write had a torn window where a racing reader's
+        ``current_version`` counted the file but ``_metadata`` failed to
+        parse it and treated the table as empty — r03 ADVICE med #1). A
+        loser sees FileExistsError -> False and retries at the next
+        version; then the hint pointer is swapped via ``os.replace``
+        (atomic rename). The pointer is last-writer-wins but only a HINT —
+        ``current_version`` probes past it, so a stale pointer never hides
+        a committed version.
         """
+        import uuid
+
         path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            os.link(tmp, path)
         except FileExistsError:
             return False
-        with os.fdopen(fd, "w") as f:
-            json.dump(meta, f, indent=1)
-        tmp = f"{self._hint_path()}.{os.getpid()}.tmp"
-        with open(tmp, "w") as f:
+        finally:
+            os.unlink(tmp)
+        hint_tmp = f"{self._hint_path()}.{os.getpid()}.tmp"
+        with open(hint_tmp, "w") as f:
             f.write(str(version))
-        os.replace(tmp, self._hint_path())
+        os.replace(hint_tmp, self._hint_path())
         return True
 
     # -- reads ------------------------------------------------------------
@@ -236,9 +267,10 @@ class IcebergLiteTable:
         optimistic-concurrency loop as ``commit``."""
         self._snapshot(snapshot_id)  # raises if unknown
         for _ in range(20):
+            cur_v = self.current_version()
             meta = self._metadata()
             meta["current_snapshot_id"] = self._snapshot(snapshot_id)["snapshot_id"]
-            version = self.current_version() + 1
+            version = cur_v + 1
             if self._commit_metadata(version, meta):
                 return version
         raise RuntimeError(
@@ -248,26 +280,46 @@ class IcebergLiteTable:
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Drop old snapshots' metadata entries and delete data dirs no
         retained snapshot references. Returns expired ids. (Iceberg's
-        expire_snapshots maintenance action.)"""
+        expire_snapshots maintenance action.)
+
+        Ordering matters (r03 ADVICE med #2): the pruned metadata is
+        committed FIRST — through the same optimistic-concurrency loop as
+        ``commit``, recomputing from fresh state after a lost race — and
+        data dirs are removed only after the prune is durably current.
+        The old delete-then-commit order could lose the metadata race
+        after the rmtree, leaving live metadata pointing at deleted
+        directories.
+        """
         import shutil
 
-        meta = self._metadata()
-        if meta is None:
-            return []
-        snaps = meta["snapshots"]
-        keep = snaps[-keep_last:]
-        cur = next((s for s in snaps if s["snapshot_id"] == meta["current_snapshot_id"]), None)
-        if cur is not None and cur not in keep:
-            keep = [cur] + keep
-        expired = [s for s in snaps if s not in keep]
-        live = {d for s in keep for d in s["data_dirs"]}
-        for s in expired:
-            for d in s["data_dirs"]:
-                if d not in live and os.path.isdir(d):
-                    shutil.rmtree(d, ignore_errors=True)
-        meta["snapshots"] = keep
-        self._commit_metadata(self.current_version() + 1, meta)
-        return [s["snapshot_id"] for s in expired]
+        for _ in range(20):
+            cur_v = self.current_version()
+            meta = self._metadata()
+            if meta is None:
+                return []
+            snaps = meta["snapshots"]
+            keep = snaps[-keep_last:]
+            cur = next(
+                (s for s in snaps if s["snapshot_id"] == meta["current_snapshot_id"]), None
+            )
+            if cur is not None and cur not in keep:
+                keep = [cur] + keep
+            expired = [s for s in snaps if s not in keep]
+            if not expired:
+                return []
+            live = {d for s in keep for d in s["data_dirs"]}
+            pruned = dict(meta)
+            pruned["snapshots"] = keep
+            if not self._commit_metadata(cur_v + 1, pruned):
+                continue  # lost the race — recompute from the winner's state
+            for s in expired:
+                for d in s["data_dirs"]:
+                    if d not in live and os.path.isdir(d):
+                        shutil.rmtree(d, ignore_errors=True)
+            return [s["snapshot_id"] for s in expired]
+        raise RuntimeError(
+            f"expire_snapshots on {self.root} lost 20 optimistic-concurrency races"
+        )
 
 
 def write_graph_tables(

@@ -138,6 +138,7 @@ def seqratio_eps_edges(
     id_col: str = "pattern_id",
     block: int = 256,
     dist_func: str = "seqratio",
+    max_vocab: int = 1_000_000,
 ) -> DataFrame:
     """ε-neighbor edges (src, dst, dist) with dist = mean over
     ``pattern_cols`` of the per-slot distance, src < dst, over the
@@ -164,6 +165,19 @@ def seqratio_eps_edges(
     if dist_func not in ("seqratio", "sent2vec"):
         raise ValueError(f"unknown dist_func {dist_func!r}")
     spark = vocab.sparkSession
+    # this is the exact parity twin: it collects the DISTINCT-PATTERN
+    # vocabulary to the driver and broadcasts it, which is only sound for
+    # a bounded pattern language. Guard it explicitly (r03 verdict
+    # next-step #6) instead of assuming the caller read the module header.
+    n_vocab = vocab.count()
+    if n_vocab > max_vocab:
+        raise ValueError(
+            f"seqratio_eps_edges collects the distinct-pattern vocabulary to "
+            f"the driver and got {n_vocab} patterns (> max_vocab={max_vocab}); "
+            "this exact path is the bounded-vocab parity twin — use the "
+            "scalable inverted-index twin relations.pattern_edges for "
+            "unbounded corpora, or raise max_vocab deliberately"
+        )
     rows = (
         vocab.select(id_col, *pattern_cols).orderBy(id_col).collect()
     )
@@ -340,8 +354,15 @@ def clustering_re(
     this implementation uses the order-independent nearest-core rule
     (tests/test_clustering_re_parity.py).
     """
-    pw = pairs.withColumn("point_id", F.monotonically_increasing_id()).persist()
-    pw.count()  # pin ids before the double consumption below
+    # localCheckpoint is a LINEAGE BARRIER, not a cache hint: persist()+
+    # count() only caches blocks, and if one is evicted (or an executor
+    # dies) recomputation could reassign different monotonically-
+    # increasing ids between the two consumptions of pw below, silently
+    # mislabeling points (r03 ADVICE low #2). The checkpoint materializes
+    # the generated ids durably before anything reads them twice.
+    pw = pairs.withColumn(
+        "point_id", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
     points, vocab = distinct_patterns(pw, pattern_cols)
     vocab = vocab.persist()
     edges = seqratio_eps_edges(
@@ -351,5 +372,4 @@ def clustering_re(
     out = pw.join(labels, "point_id").drop("point_id").localCheckpoint(eager=True)
     edges.unpersist()
     vocab.unpersist()
-    pw.unpersist()
     return out

@@ -241,3 +241,22 @@ def test_train_dev_cluster_artifact_parity(spark):
     exact = sum(1 for a, b in zip(ours, theirs) if a == b)
     assert exact >= 11
     assert sum(ours) == sum(theirs)  # only border attachment may differ
+
+
+def test_seqratio_eps_edges_vocab_guard(spark):
+    """The exact parity twin collects the distinct-pattern vocabulary to
+    the driver; above max_vocab it must raise with a pointer to the
+    scalable twin instead of silently attempting the collect (r03 verdict
+    next-step #6)."""
+    import pytest
+
+    from kargo_spark import seqdist
+
+    vocab = spark.range(5).selectExpr(
+        "id AS pattern_id", "array(cast(id AS string)) AS in_between_pat"
+    )
+    with pytest.raises(ValueError, match="pattern_edges"):
+        seqdist.seqratio_eps_edges(vocab, eps=0.3, max_vocab=4)
+    # under the cap the same vocabulary computes fine
+    edges = seqdist.seqratio_eps_edges(vocab, eps=2.0, max_vocab=5)
+    assert edges.count() == 10  # C(5,2) pairs all within eps=2

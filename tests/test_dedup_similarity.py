@@ -347,3 +347,26 @@ def test_minhash_hot_bucket_guard(spark):
         dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.2, max_bucket_size=None).collect()
     }
     assert got == want and (1, 4) in got
+
+
+def test_minhash_capped_stats_observability(spark):
+    """No-silent-caps (r03 ADVICE low #1): capped runs report how often
+    and how hard the hot-bucket cap bound, through both minhash_lsh_pairs
+    and minhash_lsh_dedup's explicit plumb-through."""
+    docs = _docs(spark)
+    stats = {}
+    dedup.minhash_lsh_pairs(
+        docs, jaccard_threshold=0.2, max_bucket_size=1, capped_stats=stats
+    ).collect()
+    assert stats["dropped_buckets"] > 0
+    assert stats["dropped_rows"] >= 2 * stats["dropped_buckets"]  # each >1 cap
+    stats_default = {}
+    dedup.minhash_lsh_pairs(
+        docs, jaccard_threshold=0.2, capped_stats=stats_default
+    ).collect()
+    assert stats_default == {"dropped_buckets": 0, "dropped_rows": 0}
+    stats_dedup = {}
+    dedup.minhash_lsh_dedup(
+        docs, jaccard_threshold=0.2, max_bucket_size=1, capped_stats=stats_dedup
+    ).collect()
+    assert stats_dedup["dropped_buckets"] == stats["dropped_buckets"]

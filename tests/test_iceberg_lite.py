@@ -199,3 +199,88 @@ def test_current_version_probes_past_stale_hint(spark, tmp_path):
         f.write("1")  # stale
     assert t.current_version() == 2
     assert {r["id"] for r in t.read().collect()} == {2}
+
+
+def test_torn_metadata_file_does_not_wipe_history(spark, tmp_path):
+    """A claimed-but-unparseable newest version file (the pre-os.link torn
+    window, r03 ADVICE med #1) must NOT make the table look empty: reads
+    fall back to the last parseable version and the next commit preserves
+    history instead of committing with parent=None."""
+    import os
+
+    from kargo_spark.iceberg_lite import IcebergLiteTable
+
+    root = str(tmp_path / "tbl3")
+    t = IcebergLiteTable(spark, root)
+    s1 = t.commit(spark.createDataFrame([(1, "a")], "id long, v string"), "overwrite")
+    # simulate a racer's torn claim: empty newest version file
+    open(os.path.join(t.meta_dir, "v2.metadata.json"), "w").close()
+    assert t.current_version() == 2
+    assert t._metadata()["current_snapshot_id"] == s1  # fell back to v1
+    assert {r["id"] for r in t.read().collect()} == {1}
+    s2 = t.commit(spark.createDataFrame([(2, "b")], "id long, v string"), "append")
+    snaps = [s["snapshot_id"] for s in t.snapshots()]
+    assert snaps == [s1, s2]  # history intact, parent chain preserved
+    assert t._snapshot(s2)["parent_snapshot_id"] == s1
+    # append inherited the parent's data
+    assert {r["id"] for r in t.read().collect()} == {1, 2}
+
+
+def test_commit_metadata_publishes_complete_files_only(spark, tmp_path):
+    """os.link publish: every v{N}.metadata.json on disk parses, and no
+    temp files are left behind."""
+    import json
+    import os
+
+    from kargo_spark.iceberg_lite import IcebergLiteTable
+
+    root = str(tmp_path / "tbl4")
+    t = IcebergLiteTable(spark, root)
+    for i in range(3):
+        t.commit(spark.createDataFrame([(i, "x")], "id long, v string"), "overwrite")
+    names = sorted(os.listdir(t.meta_dir))
+    assert not [n for n in names if n.endswith(".tmp")]
+    for n in names:
+        if n.endswith(".metadata.json"):
+            with open(os.path.join(t.meta_dir, n)) as f:
+                json.load(f)  # raises if torn
+
+
+def test_expire_commits_prune_before_deleting_data(spark, tmp_path, monkeypatch):
+    """r03 ADVICE med #2: if the metadata prune cannot land (loses every
+    race), expire must raise and delete NOTHING — data dirs referenced by
+    current metadata survive."""
+    import os
+
+    import pytest
+
+    from kargo_spark.iceberg_lite import IcebergLiteTable
+
+    root = str(tmp_path / "tbl5")
+    t = IcebergLiteTable(spark, root)
+    for i in range(4):
+        t.commit(spark.createDataFrame([(i, "x")], "id long, v string"), "overwrite")
+    all_dirs = [d for s in t.snapshots() for d in s["data_dirs"]]
+    monkeypatch.setattr(t, "_commit_metadata", lambda *a, **k: False)
+    with pytest.raises(RuntimeError, match="optimistic-concurrency races"):
+        t.expire_snapshots(keep_last=1)
+    for d in all_dirs:
+        assert os.path.isdir(d), f"data dir {d} deleted despite failed prune commit"
+
+
+def test_expire_still_prunes_and_deletes_on_success(spark, tmp_path):
+    import os
+
+    from kargo_spark.iceberg_lite import IcebergLiteTable
+
+    root = str(tmp_path / "tbl6")
+    t = IcebergLiteTable(spark, root)
+    for i in range(4):
+        t.commit(spark.createDataFrame([(i, "x")], "id long, v string"), "overwrite")
+    old_dirs = [d for s in t.snapshots()[:-1] for d in s["data_dirs"]]
+    expired = t.expire_snapshots(keep_last=1)
+    assert len(expired) == 3
+    assert len(t.snapshots()) == 1
+    assert {r["id"] for r in t.read().collect()} == {3}
+    for d in old_dirs:
+        assert not os.path.isdir(d)
