@@ -275,10 +275,150 @@ def _yake_doc(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["doc_id", "ngram", "term", "score"])
 
 
-def yake_scores(tokens: DataFrame, cands: DataFrame) -> DataFrame:
+def _yake_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Many-docs-at-once YAKE: the same per-document feature formulas as
+    ``_yake_doc``/``_yake_word_scores`` (doc-local semantics are keyed by
+    (doc, word) pair codes throughout), but vectorized ACROSS the whole
+    Arrow batch. Profiling at sf0.1 showed ~2/3 of the stage's Python
+    time was fixed pandas overhead paid once per ~54-word document
+    (sort_values, boolean indexing, Series init); batching ~150 docs per
+    group amortizes it ~10x. Equality with the per-doc path is pinned by
+    tests/test_weighting_ranking.py (batch == per-doc to 1e-9) and the
+    driver's full-feature DuckDB oracle."""
+    is_cand = pdf["ngram"].notna().to_numpy()
+    toks = pdf[~is_cand]
+    cands = pdf[is_cand]
+    empty = pd.DataFrame(columns=["doc_id", "ngram", "term", "score"])
+    if not len(toks) or not len(cands):
+        return empty
+    dcodes_all, docs_uniq = pd.factorize(pdf["doc_id"])
+    nd = len(docs_uniq)
+    dt = dcodes_all[~is_cand]
+    sid = toks["sentence_id"].to_numpy(np.int64)
+    tid = toks["token_id"].to_numpy(np.int64)
+    order = np.lexsort((tid, sid, dt))
+    dt, sid, tid = dt[order], sid[order], tid[order]
+    low = toks["word_lower"].to_numpy(object)[order]
+    orig = pd.Series(toks["word_orig"].to_numpy(object)[order])
+    n = len(dt)
+    wcodes, wuniq = pd.factorize(pd.Series(low))
+    n_words = len(wuniq)
+    pair_key = dt.astype(np.int64) * n_words + wcodes
+    puniq, pcodes = np.unique(pair_key, return_inverse=True)
+    u = len(puniq)
+    pdoc = (puniq // n_words).astype(np.int64)
+    pword = (puniq % n_words).astype(np.int64)
+    tf = np.bincount(pcodes, minlength=u).astype(float)
+
+    # per-doc enumeration index (dt is the primary lexsort key -> sorted)
+    seg = np.cumsum(np.r_[0, (np.diff(dt) != 0)])
+    starts = np.r_[0, np.flatnonzero(np.diff(dt)) + 1]
+    pos = np.arange(n, dtype=np.int64) - starts[seg]
+    med = pd.Series(pos.astype(float)).groupby(pcodes).median().reindex(range(u)).to_numpy()
+
+    max_sid = int(sid.max()) + 1
+    uws = np.unique(pcodes.astype(np.int64) * max_sid + sid)
+    nsw = np.bincount(uws // max_sid, minlength=u).astype(float)
+    n_sents = np.ones(nd)
+    np.maximum.at(n_sents, dt, sid.astype(float))
+
+    is_upper = (orig.str.isupper() & (orig.str.len() > 1)).to_numpy(dtype=bool)
+    first_cap = orig.str[:1].str.isupper().fillna(False).to_numpy(dtype=bool)
+    is_acr = (~is_upper) & first_cap & (tid > 1)
+    tfa = np.bincount(pcodes, weights=is_upper.astype(float), minlength=u)
+    tfu = np.bincount(pcodes, weights=is_acr.astype(float), minlength=u)
+
+    ldis, rdis = np.zeros(u), np.zeros(u)
+    ltot, rtot = np.zeros(u), np.zeros(u)
+    lkeys, rkeys = [], []
+    for off in range(1, YAKE_WINDOW + 1):
+        if off >= n + 1:
+            break
+        same = dt[off:] == dt[:-off]  # neighbors never cross doc bounds
+        c, nb = pcodes[off:][same], pcodes[:-off][same]
+        np.add.at(ltot, c, 1.0)
+        np.add.at(rtot, nb, 1.0)
+        lkeys.append(c.astype(np.int64) * u + nb)
+        rkeys.append(nb.astype(np.int64) * u + c)
+    if lkeys:
+        # distinct neighbor pairs are distinct ACROSS window offsets
+        np.add.at(ldis, np.unique(np.concatenate(lkeys)) // u, 1.0)
+        np.add.at(rdis, np.unique(np.concatenate(rkeys)) // u, 1.0)
+
+    cntd = np.maximum(np.bincount(pdoc, minlength=nd).astype(float), 1.0)
+    mean_f = np.bincount(pdoc, weights=tf, minlength=nd) / cntd
+    dev = tf - mean_f[pdoc]
+    std_f = np.sqrt(np.bincount(pdoc, weights=dev * dev, minlength=nd) / cntd)
+    std_f[std_f == 0] = 1.0
+    max_f = np.zeros(nd)
+    np.maximum.at(max_f, pdoc, tf)
+
+    t_case = np.maximum(tfu, tfa) / (1.0 + np.log(tf))
+    t_pos = np.log(np.log(3 + med))
+    t_fnorm = tf / (mean_f[pdoc] + std_f[pdoc])
+    dl = np.divide(ldis, ltot, out=np.zeros(u), where=ltot > 0)
+    dr = np.divide(rdis, rtot, out=np.zeros(u), where=rtot > 0)
+    t_rel = 1.0 + (dl + dr) * tf / max_f[pdoc]
+    t_sent = nsw / n_sents[pdoc]
+    s = (t_pos * t_rel) / (t_case + t_fnorm / t_rel + t_sent / t_rel)
+
+    # candidate scoring: explode terms into words, merge pair scores
+    has_toks = np.zeros(nd, dtype=bool)
+    has_toks[dt] = True
+    cd = dcodes_all[is_cand]
+    keep = has_toks[cd]  # per-doc path emits nothing for token-less docs
+    if not keep.any():
+        return empty
+    cdf = pd.DataFrame(
+        {
+            "d": cd[keep],
+            "ngram": cands["ngram"].to_numpy(object)[keep],
+            "term": cands["term"].to_numpy(object)[keep],
+        }
+    )
+    uniq = (
+        cdf.groupby(["d", "ngram"], sort=False)
+        .agg(term=("term", "first"), tf_c=("term", "size"))
+        .reset_index()
+    )
+    words = uniq["term"].astype(str).str.lower().str.split(" ")
+    ex = uniq.loc[uniq.index.repeat(words.str.len())].copy()
+    ex["w"] = np.concatenate(words.to_numpy())
+    score_df = pd.DataFrame({"d": pdoc, "w": wuniq[pword], "s": s})
+    ex = ex.merge(score_df, on=["d", "w"], how="left")
+    ex["s"] = ex["s"].fillna(1.0)
+    agg = (
+        ex.groupby(["d", "ngram"], sort=False)
+        .agg(
+            prod=("s", "prod"), ssum=("s", "sum"),
+            term=("term", "first"), tf_c=("tf_c", "first"),
+        )
+        .reset_index()
+    )
+    score = -(agg["prod"] / (agg["tf_c"] * (1.0 + agg["ssum"])))
+    return pd.DataFrame(
+        {
+            "doc_id": docs_uniq[agg["d"].to_numpy()],
+            "ngram": agg["ngram"],
+            "term": agg["term"],
+            "score": score.astype(float),
+        }
+    )
+
+
+def yake_scores(
+    tokens: DataFrame, cands: DataFrame, bucket_parts: int | None = None
+) -> DataFrame:
     """YAKE over the doc token stream + candidate occurrences; both sides
-    union on doc_id (the graph_rank._rank_input trick) so a single
-    groupBy(doc_id) shuffle ships words and candidates together."""
+    union on doc_id (the graph_rank._rank_input trick). Docs are grouped
+    by a HASH BUCKET of doc_id rather than doc_id itself (``bucket_parts``
+    groups, default = spark.sql.shuffle.partitions): one shuffle either
+    way, but each applyInPandas call then receives ~rows/bucket_parts
+    rows spanning many documents, and ``_yake_batch`` vectorizes across
+    all of them — the per-group pandas overhead that dominated the
+    per-doc grouping disappears, and Arrow moves few large batches
+    instead of millions of tiny ones. Doc-locality of every feature is
+    preserved inside the batch via (doc, word) pair keys."""
     tok_part = tokens.select(
         "doc_id", "sentence_id", "token_id",
         F.col("word").alias("word_orig"),
@@ -299,10 +439,13 @@ def yake_scores(tokens: DataFrame, cands: DataFrame) -> DataFrame:
     # synthetic ids — Arrow refuses an int64 column under a string schema)
     id_type = tokens.schema["doc_id"].dataType.simpleString()
     schema = f"doc_id {id_type}, ngram string, term string, score double"
-    return (
-        tok_part.unionByName(cand_part)
-        .groupBy("doc_id")
-        .applyInPandas(_yake_doc, schema)
+    spark = tokens.sparkSession
+    nb = bucket_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    unioned = tok_part.unionByName(cand_part).withColumn(
+        "__b", F.pmod(F.hash("doc_id"), F.lit(nb))
+    )
+    return unioned.groupBy("__b").applyInPandas(
+        lambda pdf: _yake_batch(pdf.drop(columns="__b")), schema
     )
 
 

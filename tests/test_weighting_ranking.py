@@ -170,3 +170,40 @@ def test_yake_vectorized_matches_reference_loop():
         assert set(ref) == set(vec)
         for w in ref:
             assert vec[w] == ref[w], (trial, w, vec[w], ref[w])
+
+
+def test_yake_batch_equals_per_doc(spark):
+    """_yake_batch (many docs per Arrow group, vectorized across docs)
+    must reproduce the per-doc _yake_doc scores to float-rounding level
+    on a corpus with multi-word candidates, casing and repeated words."""
+    import numpy as np
+    import pandas as pd
+
+    from kargo_spark import weighting as W
+
+    rng = np.random.default_rng(7)
+    vocab = ["Alpha", "beta", "GAMMA", "delta", "Epsilon", "zeta", "eta", "theta"]
+    pdfs = []
+    for d in range(25):
+        n = int(rng.integers(5, 60))
+        words = [vocab[int(rng.integers(len(vocab)))] for _ in range(n)]
+        toks = pd.DataFrame({
+            "doc_id": f"d{d}", "sentence_id": [i // 7 + 1 for i in range(n)],
+            "token_id": [i % 7 + 1 for i in range(n)],
+            "word_orig": words, "word_lower": [w.lower() for w in words],
+            "ngram": None, "term": None,
+        })
+        cands = [w.lower() for w in words if len(w) >= 4]
+        cands += [f"{a.lower()} {b.lower()}" for a, b in zip(words, words[1:])][:5]
+        cdf = pd.DataFrame({
+            "doc_id": f"d{d}", "sentence_id": 0, "token_id": 0,
+            "word_orig": "", "word_lower": "", "ngram": cands, "term": cands,
+        })
+        pdfs.append(pd.concat([toks, cdf], ignore_index=True))
+    ref = pd.concat([W._yake_doc(p) for p in pdfs], ignore_index=True)
+    got = W._yake_batch(pd.concat(pdfs, ignore_index=True))
+    a = ref.sort_values(["doc_id", "ngram"]).reset_index(drop=True)
+    b = got.sort_values(["doc_id", "ngram"]).reset_index(drop=True)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["ngram"]) == list(b["ngram"])
+    assert np.allclose(a["score"], b["score"], rtol=1e-9, atol=1e-12)
