@@ -46,8 +46,25 @@ def embed_texts_np(texts: pd.Series, dim: int, seed: int) -> np.ndarray:
     return out / norms
 
 
-def make_embedder(dim: int = DEFAULT_DIM, seed: int = 42):
-    """Scalar-iterator pandas_udf: string column -> array<float> embedding."""
+def make_embedder(dim: int = DEFAULT_DIM, seed: int = 42, strict: bool = False):
+    """Scalar-iterator pandas_udf: string column -> array<float> embedding.
+
+    ``strict=True`` marks the sent2vec integration point (reference
+    terms.py:15, 204-211 — EmbeddingDistributorLocal): it raises instead
+    of returning the hashing-trick embedder, so a deployment that
+    REQUIRES real sentence embeddings fails loudly. The swap is this one
+    factory: return a pandas_udf whose batch fn loads the sent2vec model
+    once per worker and calls ``model.embed_sentences(batch)``; every
+    caller (EmbedRank, entity linking, sent2vec-distance clustering)
+    flows through here.
+    """
+    if strict:
+        raise NotImplementedError(
+            "real sentence embeddings require sent2vec model weights not "
+            "present in this container; make make_embedder return a "
+            "pandas_udf wrapping sent2vec.Sent2vecModel.embed_sentences "
+            "(load the model once per worker), then pass strict=False"
+        )
 
     @F.pandas_udf(ArrayType(FloatType()))
     def embed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:

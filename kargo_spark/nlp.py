@@ -294,12 +294,28 @@ def _annotate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         )
 
 
-def tokenize(docs: DataFrame) -> DataFrame:
+def tokenize(docs: DataFrame, strict: bool = False) -> DataFrame:
     """``docs_clean -> tokens``: 1 doc row -> N token rows via mapInPandas.
 
     Only (doc_id, content) are shipped through Arrow — column pruning is
     explicit so a 100-TB scan never serializes unused columns into Python.
+
+    ``strict=True`` marks the stanza integration point (reference
+    corpus.py:227-232): it raises instead of running the deterministic
+    heuristic annotator, so a deployment that REQUIRES real model
+    annotations fails loudly rather than silently shipping heuristic tags.
+    The swap is one function: replace ``_annotate_doc`` with a
+    stanza-backed implementation returning the same 11-column rows
+    (TOKENS_SCHEMA), loading the pipeline once per worker partition.
     """
+    if strict:
+        raise NotImplementedError(
+            "real NLP annotations require stanza models not present in this "
+            "container; swap kargo_spark.nlp._annotate_doc for a "
+            "stanza-backed function emitting TOKENS_SCHEMA rows (load the "
+            "stanza.Pipeline once per partition), then call "
+            "tokenize(docs, strict=False)"
+        )
     return docs.select("doc_id", "content").mapInPandas(_annotate_batches, TOKENS_SCHEMA)
 
 
