@@ -700,13 +700,21 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN top-5 through the library path with md5-derived ±1
+    hyperplanes (r04: moved from rows-only to fully oracle-checked — the
+    DuckDB oracle rebuilds the 4x6 bucket tables, the candidate sets and
+    the cosine re-rank; bucket quality itself is audited by
+    recall_audit)."""
     from kargo_spark.similarity import lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb.filter(F.col("vec_id") >= 5), queries, k=5)
+    out = lsh_topk(
+        emb.filter(F.col("vec_id") >= 5), queries, k=5, plane_dist="rademacher_md5"
+    )
+    return out.select("query_id", "nbr_id", F.round("cos", 4).alias("cos"), "rank")
 
 
 def q_terms_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,15 +729,21 @@ def q_terms_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN top-5 (rows-only: centroid seeding makes the probe
-    set sample-dependent; rank completeness is pytest-audited)."""
+    """IVF ANN top-5 through the library path with md5-ordered centroid
+    sampling (r04: moved from rows-only to fully oracle-checked — the
+    DuckDB oracle rebuilds the sample, the Lloyd step, the inverted
+    lists, the 4-probe sets and the cosine re-rank)."""
     from kargo_spark.similarity import ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb.filter(F.col("vec_id") >= 5), queries, k=5, n_centroids=8)
+    out = ivf_topk(
+        emb.filter(F.col("vec_id") >= 5), queries, k=5, n_centroids=8,
+        sample_order="md5",
+    )
+    return out.select("query_id", "nbr_id", F.round("cos", 4).alias("cos"), "rank")
 
 
 def q_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1132,10 +1146,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pagerank": q_corpus_pagerank,
         "corpus_summary": q_corpus_summary,
         "recall_audit": q_recall_audit,
-        # rows-only (no SQL oracle):
-        "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        # rows-only (no SQL oracle): embedding_neardup is probabilistic
+        # blocking with an oracle-checked exact twin; kg_pipeline_triples
+        # is pinned to a committed golden snapshot
+        # (tests/test_kg_pipeline_golden.py); lda_topics is seeded
+        # pyspark.ml LDA (EM path, not SQL-expressible).
+        "embedding_neardup": q_embedding_neardup,
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "lda_topics": q_lda_topics,
     }
@@ -1218,6 +1236,121 @@ def oracle_sql() -> dict[str, str]:
             "be been it its this that these those they their we you he she not no"
         ).split()
     )
+    # --- shared ANN fragments (ann_lsh / ann_ivf / recall_audit): corpus
+    # + query views, md5-plane LSH buckets (4 tables x 6 planes, seed
+    # 42+101*t, sign = low bit of md5(f"{seed}:{plane}:{dim}")[0]) and
+    # md5-sampled IVF centroids (256-row md5-ordered sample, 8 init rows
+    # by smallest md5(f"42:{i}")[:8], one Lloyd step, normalize,
+    # cosine-assign, 4-probe)
+    ann_core = """corpus AS (
+                SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id >= 5
+            ),
+            queries AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5
+            ),
+            dims AS (SELECT unnest(range(1, 65)) AS j)"""
+    ann_lsh_ctes = """planes AS (
+                SELECT t.t, p.p, d.j,
+                       CASE WHEN (CAST('0x' || substring(md5(
+                                (42 + 101 * t.t)::VARCHAR || ':' || p.p::VARCHAR
+                                || ':' || (d.j - 1)::VARCHAR), 1, 1) AS INT) & 1) = 1
+                            THEN 1.0 ELSE -1.0 END AS w
+                FROM (SELECT unnest(range(0, 4)) AS t) t,
+                     (SELECT unnest(range(0, 6)) AS p) p,
+                     dims d
+            ),
+            cbits AS (
+                SELECT c.nbr_id, pl.t, pl.p,
+                       CASE WHEN sum(c.cv[pl.j] * pl.w) >= 0 THEN '1' ELSE '0' END AS bit
+                FROM corpus c, planes pl GROUP BY 1, 2, 3
+            ),
+            cbuckets AS (
+                SELECT nbr_id, t, string_agg(bit, '' ORDER BY p) AS bucket
+                FROM cbits GROUP BY 1, 2
+            ),
+            qbits AS (
+                SELECT q.query_id, pl.t, pl.p,
+                       CASE WHEN sum(q.qv[pl.j] * pl.w) >= 0 THEN '1' ELSE '0' END AS bit
+                FROM queries q, planes pl GROUP BY 1, 2, 3
+            ),
+            qbuckets AS (
+                SELECT query_id, t, string_agg(bit, '' ORDER BY p) AS bucket
+                FROM qbits GROUP BY 1, 2
+            ),
+            lsh_cand AS (
+                SELECT DISTINCT q.query_id, c.nbr_id
+                FROM cbuckets c JOIN qbuckets q ON c.t = q.t AND c.bucket = q.bucket
+            )"""
+    ann_ivf_ctes = """samp AS (
+                SELECT nbr_id, cv, i FROM (
+                    SELECT nbr_id, cv,
+                           row_number() OVER (ORDER BY md5('42:' || nbr_id::VARCHAR)) - 1 AS i
+                    FROM corpus
+                ) WHERE i < 256
+            ),
+            init AS (
+                SELECT hr - 1 AS cid, cv FROM (
+                    SELECT s.cv,
+                           row_number() OVER (
+                               ORDER BY CAST('0x' || substring(md5('42:' || s.i::VARCHAR), 1, 8) AS BIGINT), s.i
+                           ) AS hr
+                    FROM samp s
+                ) WHERE hr <= 8
+            ),
+            sdot AS (
+                SELECT s.i, ic.cid, sum(s.cv[d.j] * ic.cv[d.j]) AS dot
+                FROM samp s, init ic, dims d GROUP BY 1, 2
+            ),
+            sassign AS (
+                SELECT i, cid FROM (
+                    SELECT i, cid,
+                           row_number() OVER (PARTITION BY i ORDER BY dot DESC, cid) AS rn
+                    FROM sdot
+                ) WHERE rn = 1
+            ),
+            cmean AS (
+                SELECT a.cid, d.j, avg(s.cv[d.j]) AS v
+                FROM sassign a JOIN samp s USING (i), dims d GROUP BY 1, 2
+            ),
+            craw AS (
+                SELECT ic.cid, d.j, coalesce(cm.v, ic.cv[d.j]) AS v
+                FROM init ic CROSS JOIN dims d
+                LEFT JOIN cmean cm ON cm.cid = ic.cid AND cm.j = d.j
+            ),
+            cnorm AS (SELECT cid, sqrt(sum(v * v)) AS nv FROM craw GROUP BY 1),
+            cents AS (
+                SELECT c.cid, c.j, c.v / greatest(n.nv, 1e-9) AS v
+                FROM craw c JOIN cnorm n USING (cid)
+            ),
+            centn AS (SELECT cid, sqrt(sum(v * v)) AS n2 FROM cents GROUP BY 1),
+            adot AS (
+                SELECT c.nbr_id, ct.cid, sum(c.cv[ct.j] * ct.v) AS dot
+                FROM corpus c, cents ct GROUP BY 1, 2
+            ),
+            aassign AS (
+                SELECT nbr_id, cid FROM (
+                    SELECT a.nbr_id, a.cid,
+                           row_number() OVER (
+                               PARTITION BY a.nbr_id ORDER BY a.dot / cn.n2 DESC, a.cid
+                           ) AS rn
+                    FROM adot a JOIN centn cn USING (cid)
+                ) WHERE rn = 1
+            ),
+            qdot AS (
+                SELECT q.query_id, ct.cid, sum(q.qv[ct.j] * ct.v) AS dot
+                FROM queries q, cents ct GROUP BY 1, 2
+            ),
+            qprobe AS (
+                SELECT query_id, cid FROM (
+                    SELECT qd.query_id, qd.cid,
+                           row_number() OVER (
+                               PARTITION BY qd.query_id ORDER BY qd.dot / cn.n2 DESC, qd.cid
+                           ) AS rn
+                    FROM qdot qd JOIN centn cn USING (cid)
+                ) WHERE rn <= 4
+            )"""
     out = {
         "docs_clean": f"""
             SELECT doc_id,
@@ -2258,16 +2391,46 @@ def oracle_sql() -> dict[str, str]:
         # md5-sampled IVF centroids (256-row md5-ordered sample, 8 init
         # rows by smallest md5(f"42:{{i}}")[:8], one Lloyd step, normalize,
         # cosine-assign, 4-probe), then recompute recall@5 per query.
+        "ann_lsh": f"""
+            WITH {ann_core},
+            {ann_lsh_ctes},
+            scored AS (
+                SELECT lc.query_id, lc.nbr_id,
+                       list_cosine_similarity(q.qv, c.cv) AS cos
+                FROM lsh_cand lc
+                JOIN queries q USING (query_id) JOIN corpus c USING (nbr_id)
+            ),
+            ranked AS (
+                SELECT query_id, nbr_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, nbr_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, nbr_id, round(cos, 4) AS cos, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "ann_ivf": f"""
+            WITH {ann_core},
+            {ann_ivf_ctes},
+            scored AS (
+                SELECT qp.query_id, aa.nbr_id,
+                       list_cosine_similarity(q.qv, c.cv) AS cos
+                FROM qprobe qp JOIN aassign aa USING (cid)
+                JOIN queries q USING (query_id) JOIN corpus c ON c.nbr_id = aa.nbr_id
+            ),
+            ranked AS (
+                SELECT query_id, nbr_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, nbr_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, nbr_id, round(cos, 4) AS cos, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        # --- recall_audit: exact top-5 + both approximate paths rebuilt
+        # from the shared fragments, recall@5 recomputed per query.
         "recall_audit": f"""
-            WITH corpus AS (
-                SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS cv
-                FROM embeddings WHERE vec_id >= 5
-            ),
-            queries AS (
-                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                FROM embeddings WHERE vec_id < 5
-            ),
-            dims AS (SELECT unnest(range(1, 65)) AS j),
+            WITH {ann_core},
             exact AS (
                 SELECT query_id, nbr_id FROM (
                     SELECT q.query_id, c.nbr_id,
@@ -2279,38 +2442,7 @@ def oracle_sql() -> dict[str, str]:
                 ) WHERE rank <= 5
             ),
             exn AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1),
-            planes AS (
-                SELECT t.t, p.p, d.j,
-                       CASE WHEN (CAST('0x' || substring(md5(
-                                (42 + 101 * t.t)::VARCHAR || ':' || p.p::VARCHAR
-                                || ':' || (d.j - 1)::VARCHAR), 1, 1) AS INT) & 1) = 1
-                            THEN 1.0 ELSE -1.0 END AS w
-                FROM (SELECT unnest(range(0, 4)) AS t) t,
-                     (SELECT unnest(range(0, 6)) AS p) p,
-                     dims d
-            ),
-            cbits AS (
-                SELECT c.nbr_id, pl.t, pl.p,
-                       CASE WHEN sum(c.cv[pl.j] * pl.w) >= 0 THEN '1' ELSE '0' END AS bit
-                FROM corpus c, planes pl GROUP BY 1, 2, 3
-            ),
-            cbuckets AS (
-                SELECT nbr_id, t, string_agg(bit, '' ORDER BY p) AS bucket
-                FROM cbits GROUP BY 1, 2
-            ),
-            qbits AS (
-                SELECT q.query_id, pl.t, pl.p,
-                       CASE WHEN sum(q.qv[pl.j] * pl.w) >= 0 THEN '1' ELSE '0' END AS bit
-                FROM queries q, planes pl GROUP BY 1, 2, 3
-            ),
-            qbuckets AS (
-                SELECT query_id, t, string_agg(bit, '' ORDER BY p) AS bucket
-                FROM qbits GROUP BY 1, 2
-            ),
-            lsh_cand AS (
-                SELECT DISTINCT q.query_id, c.nbr_id
-                FROM cbuckets c JOIN qbuckets q ON c.t = q.t AND c.bucket = q.bucket
-            ),
+            {ann_lsh_ctes},
             lsh_top AS (
                 SELECT query_id, nbr_id FROM (
                     SELECT lc.query_id, lc.nbr_id,
@@ -2322,74 +2454,7 @@ def oracle_sql() -> dict[str, str]:
                     JOIN queries q USING (query_id) JOIN corpus c USING (nbr_id)
                 ) WHERE rank <= 5
             ),
-            samp AS (
-                SELECT nbr_id, cv, i FROM (
-                    SELECT nbr_id, cv,
-                           row_number() OVER (ORDER BY md5('42:' || nbr_id::VARCHAR)) - 1 AS i
-                    FROM corpus
-                ) WHERE i < 256
-            ),
-            init AS (
-                SELECT hr - 1 AS cid, cv FROM (
-                    SELECT s.cv,
-                           row_number() OVER (
-                               ORDER BY CAST('0x' || substring(md5('42:' || s.i::VARCHAR), 1, 8) AS BIGINT), s.i
-                           ) AS hr
-                    FROM samp s
-                ) WHERE hr <= 8
-            ),
-            sdot AS (
-                SELECT s.i, ic.cid, sum(s.cv[d.j] * ic.cv[d.j]) AS dot
-                FROM samp s, init ic, dims d GROUP BY 1, 2
-            ),
-            sassign AS (
-                SELECT i, cid FROM (
-                    SELECT i, cid,
-                           row_number() OVER (PARTITION BY i ORDER BY dot DESC, cid) AS rn
-                    FROM sdot
-                ) WHERE rn = 1
-            ),
-            cmean AS (
-                SELECT a.cid, d.j, avg(s.cv[d.j]) AS v
-                FROM sassign a JOIN samp s USING (i), dims d GROUP BY 1, 2
-            ),
-            craw AS (
-                SELECT ic.cid, d.j, coalesce(cm.v, ic.cv[d.j]) AS v
-                FROM init ic CROSS JOIN dims d
-                LEFT JOIN cmean cm ON cm.cid = ic.cid AND cm.j = d.j
-            ),
-            cnorm AS (SELECT cid, sqrt(sum(v * v)) AS nv FROM craw GROUP BY 1),
-            cents AS (
-                SELECT c.cid, c.j, c.v / greatest(n.nv, 1e-9) AS v
-                FROM craw c JOIN cnorm n USING (cid)
-            ),
-            centn AS (SELECT cid, sqrt(sum(v * v)) AS n2 FROM cents GROUP BY 1),
-            adot AS (
-                SELECT c.nbr_id, ct.cid, sum(c.cv[ct.j] * ct.v) AS dot
-                FROM corpus c, cents ct GROUP BY 1, 2
-            ),
-            aassign AS (
-                SELECT nbr_id, cid FROM (
-                    SELECT a.nbr_id, a.cid,
-                           row_number() OVER (
-                               PARTITION BY a.nbr_id ORDER BY a.dot / cn.n2 DESC, a.cid
-                           ) AS rn
-                    FROM adot a JOIN centn cn USING (cid)
-                ) WHERE rn = 1
-            ),
-            qdot AS (
-                SELECT q.query_id, ct.cid, sum(q.qv[ct.j] * ct.v) AS dot
-                FROM queries q, cents ct GROUP BY 1, 2
-            ),
-            qprobe AS (
-                SELECT query_id, cid FROM (
-                    SELECT qd.query_id, qd.cid,
-                           row_number() OVER (
-                               PARTITION BY qd.query_id ORDER BY qd.dot / cn.n2 DESC, qd.cid
-                           ) AS rn
-                    FROM qdot qd JOIN centn cn USING (cid)
-                ) WHERE rn <= 4
-            ),
+            {ann_ivf_ctes},
             ivf_top AS (
                 SELECT query_id, nbr_id FROM (
                     SELECT qp.query_id, aa.nbr_id,
