@@ -806,6 +806,29 @@ def q_kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["triples"].select("subj", "pred", "obj", "support")
 
 
+def q_kg_pipeline_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-level hard gate for the flagship composite (r03 verdict
+    next-step #2, driver-query half — the pytest half is
+    tests/test_kg_pipeline_golden.py): run the FULL pipeline and reduce
+    its triples to (count, orderless 48-bit-row-hash sum). The oracle for
+    this query is a COMMITTED GOLDEN CONSTANT, not an independent
+    derivation (the mapInPandas pipeline is not SQL-expressible — stated
+    plainly so nobody mistakes this for a semantic oracle): any semantic
+    drift in any stage flips the hash and fails the driver gate loudly
+    instead of passing a rows-only count."""
+    t = q_kg_pipeline_triples(spark, sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(chr(31), "subj", "pred", "obj", F.col("support").cast("string"))),
+            1, 12,
+        ),
+        16, 10,
+    ).cast("long")
+    return t.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_triples"), F.sum("h").alias("rowhash_sum")
+    )
+
+
 def q_transfer_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supervised relation typing (reference TransferRE — opennre
     model.infer over (text, head span, tail span) with a probability
@@ -1156,6 +1179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "lda_topics": q_lda_topics,
+        # golden-constant gate (oracle = committed snapshot, NOT an
+        # independent derivation — see the query docstring):
+        "kg_pipeline_golden": q_kg_pipeline_golden,
     }
 
 
@@ -2496,4 +2522,12 @@ def oracle_sql() -> dict[str, str]:
     }
     # identical semantics through the bucketed store — same oracle
     out["graph_2hop_bucketed"] = out["graph_2hop"]
+    # COMMITTED GOLDEN CONSTANT for the composite pipeline at the
+    # driver's correctness scale (sf0.01): 326 triples, orderless sum of
+    # 48-bit row hashes. Regenerate deliberately (and update here) when
+    # pipeline semantics change; tests/test_kg_pipeline_golden.py pins
+    # the sf0.001 twin row-for-row.
+    out["kg_pipeline_golden"] = """
+        SELECT 326::BIGINT AS n_triples, 46320463150447303::BIGINT AS rowhash_sum
+    """
     return out
