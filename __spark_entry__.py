@@ -434,9 +434,10 @@ def q_graph_2hop_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same 2-hop semantics as ``graph_2hop`` but through the bucketed
     graph store (storage.write_bucketed: both join sides bucketed+sorted
     on the middle key) — the self-join runs with zero Exchange, and the
-    query RAISES if the executed plan ever re-introduces one. Certifies
-    that the pay-the-shuffle-once table layout produces identical results
-    to the plain path (shared oracle SQL)."""
+    query RAISES if the composed plan ever contains more than the one
+    expected Exchange (the final aggregation). Certifies that the
+    pay-the-shuffle-once table layout produces identical results to the
+    plain path (shared oracle SQL)."""
     from kargo_spark.graph_store import two_hop_bucketed
 
     return two_hop_bucketed(

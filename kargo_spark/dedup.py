@@ -128,8 +128,10 @@ def minhash_lsh_pairs(
     Per the repo's no-silent-caps convention (r03 ADVICE low #1): pass a
     dict as ``capped_stats`` and it is filled with
     ``{"dropped_buckets": int, "dropped_rows": int}`` — how often and how
-    hard the cap actually bound on this corpus (one extra small job; the
-    default path stays lazy).
+    hard the cap actually bound on this corpus. Costs one eager extra job
+    over the banding lineage (signatures come from the persisted ``base``
+    cache; the hot-bucket table itself is persisted so the anti-join
+    reuses it); the default path stays fully lazy.
     """
     if bands is None:
         bands = derive_bands(num_hashes, jaccard_threshold)
@@ -163,6 +165,11 @@ def minhash_lsh_pairs(
             .filter(F.col("n") > max_bucket_size)
         )
         if capped_stats is not None:
+            # persist the (tiny) hot-bucket table so the eager stats job
+            # and the anti-join share one computation; the banding lineage
+            # it reads re-derives from the persisted `base` signatures,
+            # not from raw text
+            hot_buckets = hot_buckets.persist()
             row = hot_buckets.agg(
                 F.count(F.lit(1)).alias("b"), F.coalesce(F.sum("n"), F.lit(0)).alias("r")
             ).collect()[0]

@@ -20,9 +20,6 @@ from pyspark.sql import functions as F
 
 from .embedding import DEFAULT_DIM, embed_texts_np
 
-EMBEDRANK_SCHEMA = "doc_id string, ngram string, term string, score double, aliases string"
-
-
 def _embedrank_schema(df: DataFrame) -> str:
     """Output schema inheriting the caller's doc_id type (string corpus
     ids vs long synthetic ids — Arrow rejects int64 under a string

@@ -74,10 +74,12 @@ def two_hop_bucketed(
     Exchange on either side: the shuffle is paid once at write time and
     amortized over every later 2-hop / merge pass, which is exactly the
     economics that matter when the hop table is 10^12 rows. With
-    ``assert_shuffle_free`` the function RAISES if the executed join plan
-    contains a hash-partitioning Exchange, making the layout property an
-    operational contract rather than a hope. Results are identical to
-    ``two_hop`` (same hub guard, same aggregation).
+    ``assert_shuffle_free`` the function RAISES if the composed 2-hop
+    query plans MORE than the one expected hash-partitioning Exchange
+    (the final (src, dst) aggregation) — i.e. if the join itself would
+    shuffle — making the layout property an operational contract rather
+    than a hope. Results are identical to ``two_hop`` (same hub guard,
+    same aggregation).
     """
     from .storage import write_bucketed
 
@@ -99,14 +101,7 @@ def two_hop_bucketed(
     write_bucketed(t1, f"{prefix}_t1", ["mid"], n_buckets)
     write_bucketed(t2, f"{prefix}_t2", ["mid"], n_buckets)
     joined = spark.table(f"{prefix}_t1").join(spark.table(f"{prefix}_t2"), "mid")
-    if assert_shuffle_free:
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        if "Exchange hashpartitioning" in plan:
-            raise AssertionError(
-                "bucketed 2-hop join planned a shuffle — bucket layout not "
-                "engaged (check bucket counts / join key):\n" + plan
-            )
-    return (
+    result = (
         joined.filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(
@@ -114,6 +109,23 @@ def two_hop_bucketed(
             F.sum(F.least("s1", "s2")).alias("path_support"),
         )
     )
+    if assert_shuffle_free:
+        # probe the FULL composed query (not just the bare join subplan —
+        # the consumer query is what actually executes): the only
+        # hash-partitioning Exchange allowed is the final (src, dst)
+        # aggregation; a second one means the join itself shuffled and the
+        # bucket layout was not engaged. Checked at plan time; AQE can
+        # only downgrade the join to broadcast (still shuffle-free), never
+        # add an Exchange this probe would miss.
+        plan = result._jdf.queryExecution().executedPlan().toString()
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        if n_exchanges > 1:
+            raise AssertionError(
+                f"bucketed 2-hop query planned {n_exchanges} shuffles "
+                "(expected only the final aggregation) — bucket layout not "
+                "engaged (check bucket counts / join key):\n" + plan
+            )
+    return result
 
 
 def graph_tables(triples: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -232,14 +232,19 @@ class IcebergLiteTable:
 
         path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
         tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f, indent=1)
         try:
+            with open(tmp, "w") as f:
+                json.dump(meta, f, indent=1)
             os.link(tmp, path)
         except FileExistsError:
             return False
         finally:
-            os.unlink(tmp)
+            # covers write failures (ENOSPC, kill mid-write) too, not
+            # just the link race — no temp ever outlives this call
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
         hint_tmp = f"{self._hint_path()}.{os.getpid()}.tmp"
         with open(hint_tmp, "w") as f:
             f.write(str(version))

@@ -168,19 +168,23 @@ def seqratio_eps_edges(
     # this is the exact parity twin: it collects the DISTINCT-PATTERN
     # vocabulary to the driver and broadcasts it, which is only sound for
     # a bounded pattern language. Guard it explicitly (r03 verdict
-    # next-step #6) instead of assuming the caller read the module header.
-    n_vocab = vocab.count()
-    if n_vocab > max_vocab:
+    # next-step #6) instead of assuming the caller read the module header
+    # — via limit(max_vocab + 1) so the guard shares the one collect job
+    # AND bounds driver memory even on an over-cap vocabulary.
+    rows = (
+        vocab.select(id_col, *pattern_cols)
+        .orderBy(id_col)
+        .limit(max_vocab + 1)
+        .collect()
+    )
+    if len(rows) > max_vocab:
         raise ValueError(
             f"seqratio_eps_edges collects the distinct-pattern vocabulary to "
-            f"the driver and got {n_vocab} patterns (> max_vocab={max_vocab}); "
+            f"the driver and got > max_vocab={max_vocab} patterns; "
             "this exact path is the bounded-vocab parity twin — use the "
             "scalable inverted-index twin relations.pattern_edges for "
             "unbounded corpora, or raise max_vocab deliberately"
         )
-    rows = (
-        vocab.select(id_col, *pattern_cols).orderBy(id_col).collect()
-    )
     pats = [tuple([list(r[c]) for c in pattern_cols]) for r in rows]
     ids = [r[id_col] for r in rows]
     u = len(pats)
@@ -360,6 +364,12 @@ def clustering_re(
     # increasing ids between the two consumptions of pw below, silently
     # mislabeling points (r03 ADVICE low #2). The checkpoint materializes
     # the generated ids durably before anything reads them twice.
+    # Trade-offs, accepted for this bounded batch stage: checkpoint
+    # blocks are released by the ContextCleaner when the RDD is
+    # garbage-collected (not by an explicit unpersist), and losing an
+    # executor after the checkpoint fails the JOB (un-recomputable
+    # blocks) rather than silently recomputing with different ids —
+    # fail-loud is exactly the behavior the id-stability fix wants.
     pw = pairs.withColumn(
         "point_id", F.monotonically_increasing_id()
     ).localCheckpoint(eager=True)

@@ -37,16 +37,25 @@ def write_bucketed(
     if mode == "overwrite":
         # a managed-table location can outlive its catalog entry (fresh
         # in-memory metastore over an old warehouse dir): overwrite would
-        # then fail with LOCATION_ALREADY_EXISTS, so drop + clear first
+        # then fail with LOCATION_ALREADY_EXISTS, so drop + clear first.
+        # Handles file:-scheme AND bare-path local warehouse dirs;
+        # db-qualified names only DROP (their location layout is the
+        # metastore's business — the save will fail loudly if dangling).
         spark = df.sparkSession
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-        if warehouse.startswith("file:"):
-            import shutil
-            from urllib.parse import urlparse
+        if "." not in table:
+            path = None
+            if warehouse.startswith("file:"):
+                from urllib.parse import urlparse
 
-            loc = f"{urlparse(warehouse).path}/{table.lower()}"
-            shutil.rmtree(loc, ignore_errors=True)
+                path = urlparse(warehouse).path
+            elif warehouse.startswith("/"):
+                path = warehouse
+            if path:
+                import shutil
+
+                shutil.rmtree(f"{path}/{table.lower()}", ignore_errors=True)
     writer = (
         df.write.mode(mode)
         .bucketBy(n_buckets, *bucket_cols)
