@@ -103,6 +103,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket_size: int | None = 1000,
     capped_stats: dict | None = None,
+    broadcast_verify: bool | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding + exact Jaccard verify.
 
@@ -132,6 +133,16 @@ def minhash_lsh_pairs(
     over the banding lineage (signatures come from the persisted ``base``
     cache; the hot-bucket table itself is persisted so the anti-join
     reuses it); the default path stays fully lazy.
+
+    ``broadcast_verify``: the verify step attaches both shingle-hash
+    arrays to each candidate pair — two joins that, as sort-merge, each
+    shuffle the pair table WITH array payloads. When the shingle table is
+    small enough to broadcast, both joins go map-side (measured ~2.5x
+    faster verify at sf0.1). ``None`` (default) decides automatically
+    from a footer-only ``docs.count()``: broadcast below 50k docs
+    (~20 MB of arrays), sort-merge above — the 10^12-row path is
+    unchanged, this only accelerates small/medium corpora where the
+    broadcast is trivially safe.
     """
     if bands is None:
         bands = derive_bands(num_hashes, jaccard_threshold)
@@ -198,10 +209,13 @@ def minhash_lsh_pairs(
         "id",
         F.transform("sh", lambda s: F.xxhash64(s, F.lit(seed))).alias("shh"),
     )
-    joined = (
-        cand.join(sh_tab.withColumnRenamed("id", "a").withColumnRenamed("shh", "sha"), "a")
-        .join(sh_tab.withColumnRenamed("id", "b").withColumnRenamed("shh", "shb"), "b")
-    )
+    if broadcast_verify is None:
+        broadcast_verify = docs.count() <= 50_000
+    sha_side = sh_tab.withColumnRenamed("id", "a").withColumnRenamed("shh", "sha")
+    shb_side = sh_tab.withColumnRenamed("id", "b").withColumnRenamed("shh", "shb")
+    if broadcast_verify:
+        sha_side, shb_side = F.broadcast(sha_side), F.broadcast(shb_side)
+    joined = cand.join(sha_side, "a").join(shb_side, "b")
     jac = F.size(F.array_intersect("sha", "shb")) / F.size(F.array_union("sha", "shb"))
     return (
         joined.withColumn("jaccard", jac.cast("double"))
