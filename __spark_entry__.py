@@ -1024,6 +1024,38 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(corpus, bench, n=4)
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher/C4-style keep decision (textstats.quality_filter):
+    word-count bounds, mean-word-length band, stopword and alpha ratios,
+    repetition caps — with per-rule booleans so drops are explainable.
+    Every signal is an exact integer-count rational, so the oracle's
+    threshold comparisons are engine-portable."""
+    from kargo_spark.textstats import quality_filter
+
+    d = _docs(spark, sf_dir)
+    qf = quality_filter(F.col("text"))
+    return d.select(
+        "doc_id",
+        qf["words_ok"].alias("words_ok"),
+        qf["word_len_ok"].alias("word_len_ok"),
+        qf["stopword_ok"].alias("stopword_ok"),
+        qf["alpha_ok"].alias("alpha_ok"),
+        qf["repetition_ok"].alias("repetition_ok"),
+        qf["keep"].alias("keep"),
+    )
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix downsampling (corpus.domain_mix): keep
+    en fully, halve de, quarter fr, 10% es, drop zh — md5-derived per-row
+    coin so the exact kept set is SQL-reproducible."""
+    from kargo_spark.corpus import domain_mix
+
+    d = _docs(spark, sf_dir)
+    out = domain_mix(d, {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1}, key_col="lang")
+    return out.select("doc_id", "lang")
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition signals (duplicate-word /
     duplicate-3-gram fractions, top-word share) — pure Column codegen."""
@@ -1155,6 +1187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "word_pagerank": q_word_pagerank,
         "decontaminate": q_decontaminate,
+        "quality_filter": q_quality_filter,
+        "domain_mix": q_domain_mix,
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
         "terms_csv": q_terms_csv,
@@ -1926,6 +1960,52 @@ def oracle_sql() -> dict[str, str]:
                    round((len(b.grams) - len(list_distinct(b.grams))) / greatest(len(b.grams), 1)::DOUBLE, 6) AS dup_3gram_ratio,
                    round(coalesce(t.topc, 0) / greatest(b.n, 1)::DOUBLE, 6) AS top_word_ratio
             FROM base b LEFT JOIN top t USING (doc_id)
+        """,
+        "quality_filter": f"""
+            WITH sig AS (
+                SELECT doc_id, text,
+                       len({toks_ap}) AS n,
+                       list_sum(list_transform({toks_ap}, t -> length(t)))
+                           / greatest(len({toks_ap}), 1)::DOUBLE AS mwl,
+                       len(list_filter({toks_ap}, x -> x IN ({stop_in})))
+                           / greatest(len({toks_ap}), 1)::DOUBLE AS swr,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           / greatest(length(text), 1)::DOUBLE AS ar,
+                       list_transform(range(1, greatest(len({toks_ap}) - 2, 1) + 1),
+                                      i -> array_to_string(({toks_ap})[i:i+2], ' ')) AS grams,
+                       {toks_ap} AS toks
+                FROM documents
+            ),
+            tc AS (
+                SELECT doc_id, count(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS w FROM sig)
+                GROUP BY doc_id, w
+            ),
+            top AS (SELECT doc_id, max(c) AS topc FROM tc GROUP BY doc_id),
+            r AS (
+                SELECT s.doc_id, s.n, s.mwl, s.swr, s.ar,
+                       (len(s.grams) - len(list_distinct(s.grams)))
+                           / greatest(len(s.grams), 1)::DOUBLE AS dup3,
+                       coalesce(t.topc, 0) / greatest(s.n, 1)::DOUBLE AS topr
+                FROM sig s LEFT JOIN top t USING (doc_id)
+            )
+            SELECT doc_id,
+                   (n >= 10 AND n <= 100000) AS words_ok,
+                   (mwl >= 3 AND mwl <= 10) AS word_len_ok,
+                   (swr >= 0.05) AS stopword_ok,
+                   (ar >= 0.6) AS alpha_ok,
+                   (dup3 <= 0.5 AND topr <= 0.3) AS repetition_ok,
+                   (words_ok AND word_len_ok AND stopword_ok AND alpha_ok
+                    AND repetition_ok) AS keep
+            FROM r
+        """,
+        "domain_mix": """
+            SELECT doc_id, lang FROM documents
+            WHERE lang IN ('en', 'de', 'fr', 'es')
+              AND (CAST('0x' || substring(md5(doc_id::VARCHAR || ':mix'), 1, 8) AS BIGINT)
+                   % 1000000)
+                  < (CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
+                               WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1 END) * 1000000
         """,
         "terms_csv": f"""
             WITH tfidf AS ({tfidf})

@@ -107,6 +107,39 @@ def hash_split(df: DataFrame, id_col: str, test_pct: int = 50, salt: str = "spli
     return df.filter(bucket < test_pct), df.filter(bucket >= test_pct)
 
 
+def domain_mix(
+    docs: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic training-mix construction: downsample each domain
+    (source / language / bucket) to a target weight in [0, 1] — the
+    data-mixing step LM pipelines run to rebalance web-heavy corpora.
+
+    keep(doc) ⇔ md5(f"{{id}}:{{salt}}")[:8] as uint % denom <
+    weight[domain] · denom — per-row, shuffle-free, reproducible across
+    runs/cluster sizes, and md5-derived so a SQL oracle can re-derive the
+    exact kept set (the hash_split device, md5 flavor). Domains missing
+    from ``weights`` are dropped (weight 0); weight 1.0 keeps everything.
+    """
+    from itertools import chain
+
+    wmap = F.create_map(
+        *chain.from_iterable((F.lit(k), F.lit(float(v))) for k, v in weights.items())
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))), 1, 8
+        ),
+        16, 10,
+    ).cast("long") % denom
+    thr = F.element_at(wmap, F.col(key_col))
+    return docs.filter(thr.isNotNull() & (u < thr * denom))
+
+
 def docs_clean(df: DataFrame) -> DataFrame:
     """The full ingest stage: dedup -> unicodify -> filter_empty -> ids.
 

@@ -156,6 +156,53 @@ def repetition_signals(col):
     )
 
 
+def quality_filter(
+    col,
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stopword_ratio: float = 0.05,
+    min_alpha_ratio: float = 0.6,
+    max_dup_3gram_ratio: float = 0.5,
+    max_top_word_ratio: float = 0.3,
+    stopwords: list[str] | None = None,
+):
+    """Composite Gopher/C4-style KEEP decision for a training corpus —
+    the filter stage big-LM pipelines run between dedup and tokenization,
+    assembled from this module's quality and repetition signals. Every
+    underlying ratio is an exact rational of integer counts, so the
+    boolean thresholds are engine-portable (no float-boundary flakiness
+    between Spark and the DuckDB oracle). Pure Column codegen.
+
+    Returns struct(words_ok, word_len_ok, stopword_ok, alpha_ok,
+    repetition_ok, keep) — per-rule booleans so a pipeline can report WHY
+    documents were dropped (filter observability), keep = all rules.
+    """
+    q = quality_score(col, stopwords)
+    r = repetition_signals(col)
+    words_ok = (r["n_words"] >= min_words) & (r["n_words"] <= max_words)
+    word_len_ok = (
+        (q["mean_word_len"] >= min_mean_word_len)
+        & (q["mean_word_len"] <= max_mean_word_len)
+    )
+    stopword_ok = q["stopword_ratio"] >= min_stopword_ratio
+    alpha_ok = q["alpha_ratio"] >= min_alpha_ratio
+    repetition_ok = (
+        (r["dup_3gram_ratio"] <= max_dup_3gram_ratio)
+        & (r["top_word_ratio"] <= max_top_word_ratio)
+    )
+    keep = words_ok & word_len_ok & stopword_ok & alpha_ok & repetition_ok
+    return F.struct(
+        words_ok.alias("words_ok"),
+        word_len_ok.alias("word_len_ok"),
+        stopword_ok.alias("stopword_ok"),
+        alpha_ok.alias("alpha_ok"),
+        repetition_ok.alias("repetition_ok"),
+        keep.alias("keep"),
+    )
+
+
 PII_PATTERNS = [
     # applied in order; counts are taken on the progressively redacted
     # text so an SSN is never double-counted by the phone rule
