@@ -1056,6 +1056,17 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 128-token training examples over 8
+    md5 doc-id groups (packing.pack_sequences) — the oracle replays the
+    greedy first-fit-in-order loop with a recursive CTE, checking the
+    exact bin assignment of every document."""
+    from kargo_spark.packing import pack_sequences
+
+    d = _docs(spark, sf_dir)
+    return pack_sequences(d, budget=128, n_groups=8)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition signals (duplicate-word /
     duplicate-3-gram fractions, top-word share) — pure Column codegen."""
@@ -1189,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "quality_filter": q_quality_filter,
         "domain_mix": q_domain_mix,
+        "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
         "terms_csv": q_terms_csv,
@@ -1998,6 +2010,32 @@ def oracle_sql() -> dict[str, str]:
                    (words_ok AND word_len_ok AND stopword_ok AND alpha_ok
                     AND repetition_ok) AS keep
             FROM r
+        """,
+        "pack_sequences": f"""
+            WITH RECURSIVE base AS (
+                SELECT doc_id,
+                       (CAST('0x' || substring(md5(doc_id::VARCHAR || ':pack'), 1, 4) AS INT) % 8) AS grp,
+                       len({toks})::BIGINT AS n_tokens
+                FROM documents
+            ),
+            ordered AS (
+                SELECT grp, doc_id, n_tokens,
+                       row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+                FROM base
+            ),
+            packed AS (
+                SELECT grp, doc_id, n_tokens, rn, 0 AS bin_id, n_tokens AS acc
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.grp, o.doc_id, o.n_tokens, o.rn,
+                       CASE WHEN p.acc + o.n_tokens > 128
+                            THEN p.bin_id + 1 ELSE p.bin_id END,
+                       CASE WHEN p.acc + o.n_tokens > 128
+                            THEN o.n_tokens ELSE p.acc + o.n_tokens END
+                FROM packed p JOIN ordered o ON o.grp = p.grp AND o.rn = p.rn + 1
+            )
+            SELECT doc_id, grp::INT AS "group", bin_id::INT AS bin_id, n_tokens
+            FROM packed
         """,
         "domain_mix": """
             SELECT doc_id, lang FROM documents

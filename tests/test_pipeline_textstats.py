@@ -184,3 +184,68 @@ def test_redact_pii_counts_and_placeholders(spark):
     red = row["redacted"]
     assert "<EMAIL>" in red and "<SSN>" in red and "<IP>" in red and "<PHONE>" in red
     assert "a.b@x.io" not in red and "123-45-6789" not in red
+
+
+def test_pack_sequences_greedy_and_oversized(spark):
+    """Greedy first-fit-in-order within a group: running fill never
+    exceeds the budget except for single oversized docs, which get a bin
+    of their own; bin ids are contiguous per group."""
+    from kargo_spark.packing import pack_sequences, packing_stats
+
+    rows = [(i, "w " * n) for i, n in enumerate([5, 6, 4, 300, 2, 9, 9, 1])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(docs, budget=10, n_groups=1).orderBy("doc_id").collect()
+    bins = {}
+    for r in out:
+        bins.setdefault(r["bin_id"], []).append(r["n_tokens"])
+    for b, sizes in bins.items():
+        assert sum(sizes) <= 10 or len(sizes) == 1, (b, sizes)
+    assert sorted(bins) == list(range(len(bins)))  # contiguous
+    # the 300-token doc is alone
+    assert [s for s in bins.values() if 300 in s] == [[300]]
+    stats = packing_stats(
+        pack_sequences(docs, budget=10, n_groups=1), 10
+    ).collect()[0]
+    assert stats["n_overflow"] == 1 and stats["n_bins"] == len(bins)
+
+
+def test_quality_filter_rules(spark):
+    """Each rule trips on a targeted pathological doc."""
+    from pyspark.sql import functions as F
+
+    from kargo_spark.textstats import quality_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs far away today"),
+            (2, "word " * 3),                        # too few words
+            (3, "spam " * 50),                       # top-word + dup-3gram + no stopwords
+            (4, "1 2 3 4 5 6 7 8 9 10 11 12 " * 3), # alpha + mean-word-len low
+        ],
+        "doc_id long, text string",
+    )
+    qf = quality_filter(F.col("text"))
+    got = {r["doc_id"]: r for r in docs.select("doc_id", qf.alias("q")).select(
+        "doc_id", "q.*").collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["words_ok"] is False and got[2]["keep"] is False
+    assert got[3]["repetition_ok"] is False and got[3]["keep"] is False
+    assert got[4]["alpha_ok"] is False and got[4]["keep"] is False
+
+
+def test_domain_mix_weights(spark):
+    """Kept fraction per domain tracks the weight; unknown domains drop;
+    weight 1.0 keeps everything; deterministic across calls."""
+    from kargo_spark.corpus import domain_mix
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = domain_mix(docs, {"a": 1.0, "b": 0.3}, key_col="lang")
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts["a"] == 1000          # weight 1.0 keeps all
+    assert "c" not in counts            # unweighted domain dropped
+    assert 220 <= counts["b"] <= 380    # ~30% of 1000
+    again = domain_mix(docs, {"a": 1.0, "b": 0.3}, key_col="lang")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
