@@ -445,6 +445,37 @@ def q_graph_2hop_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS reachability counts over the triple-store graph
+    (graph_store.k_hop_reach — iterative frontier joins with per-level
+    dedup); oracle = DuckDB recursive CTE with UNION set semantics,
+    depth-capped at 3."""
+    from kargo_spark.graph_store import k_hop_reach
+
+    edges = q_triples_agg(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return k_hop_reach(edges, k=3)
+
+
+def q_pair_npmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NPMI association strength of term pairs sharing an 8-token
+    sentence bucket (relations.pair_npmi) — the triple-confidence
+    weighting between co-occurrence counting and the final store."""
+    from kargo_spark.relations import pair_npmi
+
+    d = _docs(spark, sf_dir)
+    occ = d.select(
+        "doc_id", F.posexplode(_toks(F.col("text"))).alias("i", "word")
+    ).filter(F.length("word") >= 5)
+    occ = occ.select(
+        "doc_id", F.floor(F.col("i") / 8).alias("sentence_id"),
+        F.col("word").alias("term"),
+    )
+    out = pair_npmi(occ, min_pair_count=2)
+    return out.select("a", "b", "n_ab", F.round("npmi", 6).alias("npmi"))
+
+
 def q_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P@k (evaluation.py:44-52): preds = tf-idf top-5 words per doc, gold =
     words of length >= 8 occurring in the doc; cumulative correct / k,
@@ -1187,6 +1218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_nodes": q_graph_nodes,
         "graph_2hop": q_graph_2hop,
         "graph_2hop_bucketed": q_graph_2hop_bucketed,
+        "graph_khop": q_graph_khop,
+        "pair_npmi": q_pair_npmi,
         "precision_at_k": q_precision_at_k,
         "lang_quality": q_lang_quality,
         "token_counts": q_token_counts,
@@ -1674,6 +1707,39 @@ def oracle_sql() -> dict[str, str]:
                    sum(least(s1, s2))::BIGINT AS path_support
             FROM t1 JOIN t2 USING (mid) WHERE src <> dst
             GROUP BY src, dst
+        """,
+        "graph_khop": f"""
+            WITH RECURSIVE pairs AS ({cooc}),
+            e AS (SELECT DISTINCT head AS src, tail AS dst FROM pairs),
+            r AS (
+                SELECT src AS start, dst AS node, 1 AS d FROM e
+                UNION
+                SELECT r.start, e2.dst AS node, r.d + 1 AS d
+                FROM r JOIN e e2 ON e2.src = r.node WHERE r.d < 3
+            )
+            SELECT start, count(DISTINCT node) AS n_reach
+            FROM r WHERE start <> node GROUP BY start
+        """,
+        "pair_npmi": f"""
+            WITH occ AS (
+                SELECT DISTINCT doc_id, (pos - 1) // 8 AS sid, word AS t
+                FROM ({word_pos}) WHERE length(word) >= 5
+            ),
+            uni AS (SELECT t, count(*) AS n_t FROM occ GROUP BY t),
+            pair AS (
+                SELECT a.t AS a, b.t AS b, count(*) AS n_ab
+                FROM occ a JOIN occ b
+                  ON a.doc_id = b.doc_id AND a.sid = b.sid AND a.t < b.t
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM (SELECT DISTINCT doc_id, sid FROM occ))
+            SELECT p.a, p.b, p.n_ab,
+                   round(CASE WHEN p.n_ab = (SELECT n FROM nn) THEN 1.0
+                         ELSE ln((p.n_ab / (SELECT n FROM nn))
+                                 / ((ua.n_t / (SELECT n FROM nn))
+                                    * (ub.n_t / (SELECT n FROM nn))))
+                              / -ln(p.n_ab / (SELECT n FROM nn)) END, 6) AS npmi
+            FROM pair p JOIN uni ua ON ua.t = p.a JOIN uni ub ON ub.t = p.b
         """,
         "graph_nodes": f"""
             WITH pairs AS ({cooc}),

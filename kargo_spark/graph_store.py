@@ -58,6 +58,47 @@ def two_hop(triples: DataFrame, max_mid_degree: int | None = None) -> DataFrame:
     )
 
 
+def k_hop_reach(edges: DataFrame, k: int = 3) -> DataFrame:
+    """BFS reachability counts over the (directed) edge table: for every
+    node, how many distinct nodes it reaches within <= k hops (start
+    excluded; cycles and revisits deduplicated per level — true BFS set
+    semantics, not path counts).
+
+    Distributed shape: k frontier-expansion rounds, each ONE join of the
+    current frontier with the edge table plus a distinct against the
+    visited set — the standard iterative-join BFS; the visited/frontier
+    tables are localCheckpointed per round so lineage stays O(1) instead
+    of O(k) (the pointer-jumping CC uses the same device). Frontier
+    growth is bounded by dedup; hub fan-out skew lands on AQE's skew
+    splitting of the join. k is small and fixed (graph queries, not
+    transitive closure) — for unbounded closure use
+    clustering.connected_components.
+    """
+    e = edges.select("src", "dst").distinct().persist()
+    # frontier/visited derive from e, so give the join side fresh names
+    # (Spark's ambiguous-self-join check rightly rejects e["dst"] here)
+    e_step = e.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+    visited = e.select(F.col("src").alias("start"), F.col("dst").alias("node")).distinct()
+    frontier = visited
+    for _ in range(k - 1):
+        nxt = (
+            frontier.join(e_step, frontier["node"] == F.col("e_src"))
+            .select("start", F.col("e_dst").alias("node"))
+            .distinct()
+            .join(visited, ["start", "node"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    # e stays persisted for the caller's action (k rounds re-read it);
+    # blocks release via ContextCleaner when the plan is GC'd
+    return (
+        visited.filter(F.col("start") != F.col("node"))
+        .groupBy("start")
+        .agg(F.count(F.lit(1)).alias("n_reach"))
+    )
+
+
 def two_hop_bucketed(
     triples: DataFrame,
     max_mid_degree: int | None = None,

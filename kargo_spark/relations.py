@@ -87,6 +87,58 @@ def pairs(mention_df: DataFrame, sentences: DataFrame | None = None) -> DataFram
     return p
 
 
+def pair_npmi(
+    occ: DataFrame,
+    id_cols: tuple[str, ...] = ("doc_id", "sentence_id"),
+    term_col: str = "term",
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Normalized pointwise mutual information over term co-occurrence —
+    the association-strength weighting a KG pipeline uses to score how
+    meaningful a (subj, obj) pairing is before keeping a triple (vs. mere
+    chance co-occurrence of two frequent terms).
+
+    ``occ``: one row per (context, term) OCCURRENCE; contexts are the
+    ``id_cols`` tuple (sentence, window, document...). Counts are over
+    DISTINCT (context, term): n(a) = contexts containing a, n(a,b) =
+    contexts containing both, N = total contexts.
+
+      pmi  = ln( p(a,b) / (p(a) p(b)) )
+      npmi = pmi / -ln p(a,b)          in [-1, 1], 1 = perfect association
+
+    Shape: distinct -> self-join on the context key (src < dst) ->
+    partial-agg counts -> broadcast of the (vocabulary-sized) unigram
+    count table. Hub terms skew the context join's key distribution, not
+    a reducer (keys are contexts, whose fan-out is sentence length —
+    bounded), so no salting is needed; AQE splits stragglers.
+    """
+    ctx = [F.col(c) for c in id_cols]
+    t = occ.select(*ctx, F.col(term_col).alias("t")).distinct()
+    n_ctx = occ.select(*id_cols).distinct().count()
+    uni = t.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    a = t.select(*ctx, F.col("t").alias("a"))
+    b = t.select(*ctx, F.col("t").alias("b"))
+    pair = (
+        a.join(b, list(id_cols))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    joined = (
+        pair.join(F.broadcast(uni.withColumnRenamed("t", "a").withColumnRenamed("n_t", "n_a")), "a")
+        .join(F.broadcast(uni.withColumnRenamed("t", "b").withColumnRenamed("n_t", "n_b")), "b")
+    )
+    p_ab = F.col("n_ab") / F.lit(float(n_ctx))
+    pmi = F.log(p_ab / ((F.col("n_a") / n_ctx) * (F.col("n_b") / n_ctx)))
+    # p(a,b) = 1 -> pmi = 0 and -ln p = 0: the 0/0 limit is perfect
+    # association, so pin it to 1 instead of NaN
+    npmi = F.when(F.col("n_ab") == n_ctx, F.lit(1.0)).otherwise(pmi / -F.log(p_ab))
+    return joined.select(
+        "a", "b", "n_ab", npmi.cast("double").alias("npmi")
+    )
+
+
 def relation_json_rows(labeled_pairs: DataFrame, max_members: int = 64) -> DataFrame:
     """Cluster-file sink shape (reference artifact
     results/extracted_relations/relation_jsons/*.json — D6 in SURVEY §1):
