@@ -445,6 +445,29 @@ def q_graph_2hop_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental triple-store merge (graph_store.merge_triples): fold
+    the odd-doc slice's triples into the even-doc slice's store —
+    support accumulates for shared triples, unseen triples insert."""
+    from kargo_spark.graph_store import merge_triples
+
+    wp = _word_positions(spark, sf_dir).filter(F.length("word") >= 6)
+
+    def _triples(df):
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        p = df.select(
+            "doc_id", F.col("word").alias("subj"),
+            F.lead("word").over(w).alias("obj"),
+        ).filter(F.col("obj").isNotNull())
+        return p.groupBy("subj", "obj").agg(
+            F.count(F.lit(1)).alias("support")
+        ).select("subj", F.lit("cooccurs_with").alias("pred"), "obj", "support")
+
+    existing = _triples(wp.filter(F.col("doc_id") % 2 == 0))
+    new = _triples(wp.filter(F.col("doc_id") % 2 == 1))
+    return merge_triples(existing, new)
+
+
 def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-hop BFS reachability counts over the triple-store graph
     (graph_store.k_hop_reach — iterative frontier joins with per-level
@@ -1220,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_2hop_bucketed": q_graph_2hop_bucketed,
         "graph_khop": q_graph_khop,
         "pair_npmi": q_pair_npmi,
+        "merge_triples": q_merge_triples,
         "precision_at_k": q_precision_at_k,
         "lang_quality": q_lang_quality,
         "token_counts": q_token_counts,
@@ -1707,6 +1731,24 @@ def oracle_sql() -> dict[str, str]:
                    sum(least(s1, s2))::BIGINT AS path_support
             FROM t1 JOIN t2 USING (mid) WHERE src <> dst
             GROUP BY src, dst
+        """,
+        "merge_triples": f"""
+            WITH wp AS ({word_pos}),
+            m AS (
+                SELECT doc_id, word, pos FROM wp WHERE length(word) >= 6
+            ),
+            led AS (
+                SELECT doc_id, word AS subj,
+                       lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS obj
+                FROM m
+            ),
+            sliced AS (
+                SELECT (doc_id % 2) AS slice, subj, obj, count(*) AS support
+                FROM led WHERE obj IS NOT NULL GROUP BY 1, 2, 3
+            )
+            SELECT subj, 'cooccurs_with' AS pred, obj,
+                   sum(support)::BIGINT AS support
+            FROM sliced GROUP BY subj, obj
         """,
         "graph_khop": f"""
             WITH RECURSIVE pairs AS ({cooc}),

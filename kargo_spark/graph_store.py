@@ -58,6 +58,23 @@ def two_hop(triples: DataFrame, max_mid_degree: int | None = None) -> DataFrame:
     )
 
 
+def merge_triples(existing: DataFrame, new: DataFrame) -> DataFrame:
+    """Incremental-ingest merge: fold a new batch's triples into the
+    existing store, accumulating support for triples seen again and
+    inserting unseen ones — the upsert the pipeline runs per ingest cycle
+    instead of recomputing the store from scratch. Pure union +
+    partial-agg groupBy (one shuffle on the triple key); pairs with the
+    bucketed store so repeated merges reuse the layout, and with
+    iceberg_lite commits so every merge is a snapshot
+    (tests/test_iceberg_lite.py::test_incremental_triple_merge_snapshots).
+    """
+    return (
+        existing.unionByName(new)
+        .groupBy("subj", "pred", "obj")
+        .agg(F.sum("support").alias("support"))
+    )
+
+
 def k_hop_reach(edges: DataFrame, k: int = 3) -> DataFrame:
     """BFS reachability counts over the (directed) edge table: for every
     node, how many distinct nodes it reaches within <= k hops (start

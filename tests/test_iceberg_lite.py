@@ -284,3 +284,29 @@ def test_expire_still_prunes_and_deletes_on_success(spark, tmp_path):
     assert {r["id"] for r in t.read().collect()} == {3}
     for d in old_dirs:
         assert not os.path.isdir(d)
+
+
+def test_incremental_triple_merge_snapshots(spark, tmp_path):
+    """The incremental-ingest cycle: commit a triple store, merge a new
+    batch (support accumulates, unseen triples insert), commit again —
+    two snapshots, time travel returns the pre-merge store."""
+    from kargo_spark.graph_store import merge_triples
+    from kargo_spark.iceberg_lite import IcebergLiteTable
+
+    t = IcebergLiteTable(spark, str(tmp_path / "triples"))
+    base = spark.createDataFrame(
+        [("a", "rel", "b", 2), ("b", "rel", "c", 1)],
+        "subj string, pred string, obj string, support long",
+    )
+    s1 = t.commit(base, "overwrite")
+    batch = spark.createDataFrame(
+        [("a", "rel", "b", 3), ("c", "rel", "d", 5)],
+        "subj string, pred string, obj string, support long",
+    )
+    merged = merge_triples(t.read(), batch)
+    s2 = t.commit(merged, "overwrite")
+    now = {(r["subj"], r["obj"]): r["support"] for r in t.read().collect()}
+    assert now == {("a", "b"): 5, ("b", "c"): 1, ("c", "d"): 5}
+    before = {(r["subj"], r["obj"]): r["support"] for r in t.read(snapshot_id=s1).collect()}
+    assert before == {("a", "b"): 2, ("b", "c"): 1}
+    assert s2 > s1
