@@ -126,3 +126,76 @@ def test_neardup_keep_is_a_valid_partition(spark_global, raw_pairs):
         rep, keep = out[i]
         assert rep == find(i)
         assert keep == (rep == i)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=25
+    ),
+    k=st.integers(1, 4),
+)
+def test_k_hop_reach_matches_naive_bfs(spark_global, edges, k):
+    """Frontier-join BFS == naive per-node BFS on random small digraphs
+    (cycles, self-loops, disconnected nodes included)."""
+    from kargo_spark.graph_store import k_hop_reach
+
+    e = [(a, b) for a, b in edges if True]
+    df = spark_global.createDataFrame(e, "src long, dst long")
+    got = {r["start"]: r["n_reach"] for r in k_hop_reach(df, k=k).collect()}
+    adj: dict[int, set[int]] = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+    for s in adj:
+        seen: set[int] = set()
+        frontier = {s}
+        for _ in range(k):
+            frontier = {n for f in frontier for n in adj.get(f, ())} - seen
+            seen |= frontier
+        want = len(seen - {s})
+        assert got.get(s, 0) == want, (s, k, sorted(e))
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2), st.sampled_from("abcd")),
+        min_size=4, max_size=40,
+    )
+)
+def test_pair_npmi_matches_naive(spark_global, rows):
+    """npmi in [-1, 1] and equal to a direct python computation over
+    distinct-context counts."""
+    import math
+
+    from kargo_spark.relations import pair_npmi
+
+    df = spark_global.createDataFrame(rows, "doc_id long, sentence_id long, term string")
+    out = {(r["a"], r["b"]): (r["n_ab"], r["npmi"]) for r in
+           pair_npmi(df, min_pair_count=1).collect()}
+    ctxs: dict[tuple[int, int], set[str]] = {}
+    for d, s, t in rows:
+        ctxs.setdefault((d, s), set()).add(t)
+    n = len(ctxs)
+    from collections import Counter
+    uni: Counter = Counter()
+    pair: Counter = Counter()
+    for terms in ctxs.values():
+        for t in terms:
+            uni[t] += 1
+        ts = sorted(terms)
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                pair[(ts[i], ts[j])] += 1
+    for (a, b), n_ab in pair.items():
+        got_n, got_npmi = out[(a, b)]
+        assert got_n == n_ab
+        if n_ab == n:
+            want = 1.0
+        else:
+            p_ab = n_ab / float(n)
+            pmi = math.log(p_ab / ((uni[a] / n) * (uni[b] / n)))
+            want = pmi / -math.log(p_ab)
+        assert abs(got_npmi - want) < 1e-9
+        assert -1.0 - 1e-9 <= got_npmi <= 1.0 + 1e-9
+    assert set(out) == set(pair)
