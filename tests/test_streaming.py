@@ -173,3 +173,34 @@ def test_streaming_triples_appends_idempotent_batches(spark, tmp_path):
     replayed = [s for s in snaps2 if s["summary"].get("streaming_batch_id") == 0]
     assert len(replayed) == 1          # batch 0 skipped: only the marker
     assert any(s["summary"].get("streaming_batch_id") == 1 for s in snaps2)
+
+
+def test_quality_filter_and_domain_mix_are_stream_safe(spark, tmp_path):
+    """The round-4 corpus filters are pure stateless Column expressions,
+    so they run UNCHANGED on a readStream: streaming output == batch
+    output row-for-row. (This is the property that lets the same
+    filter/mix code serve both the bulk backfill and the incremental
+    ingest path.)"""
+    from kargo_spark.corpus import domain_mix
+    from kargo_spark.textstats import quality_filter
+
+    path = str(tmp_path / "docs_qf_stream")
+    synth_documents(spark, n_rows=40).withColumn(
+        "lang", F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                             (F.abs(F.hash("path")) % 3 + 1).cast("int"))
+    ).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.format("parquet").schema(schema).load(path)
+
+    def shape(df):
+        qf = quality_filter(F.col("content"))
+        kept = domain_mix(
+            df, {"en": 1.0, "de": 0.5}, key_col="lang", id_col="path"
+        )
+        return kept.select("path", "lang", qf["keep"].alias("keep"))
+
+    got = S.process_all(shape(stream), "qf_stream", output_mode="append")
+    want = shape(spark.read.parquet(path))
+    a = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in want.collect())
+    assert a == b and len(a) > 0
