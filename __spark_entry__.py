@@ -930,23 +930,24 @@ def q_embedrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EmbedRank MMR through the LIBRARY path (embedrank.embedrank_scores —
     reference terms.py:184-235: hashing-embedder doc/candidate vectors,
     beta=0.55 MMR). Oracle pinning (the simhash/singlerank device):
-    candidates = distinct words of length >= 7, which embed to exactly
+    candidates = distinct words of length >= 4, which embed to exactly
     ±e_{md5 % 64} under the md5-derived hashing embedder, so candidate
     similarity and doc relevance are DuckDB-reproducible and the 3-round
-    MMR selection loop SQL-unrolls. alias_threshold=2.0 disables alias
-    collapse (the greedy rep chain is order-recursive, not
-    SQL-expressible; collapse semantics stay pytest-covered in
-    tests/test_rankers_io.py)."""
+    MMR selection loop SQL-unrolls. Alias collapse runs at its DEFAULT
+    threshold (0.7) and is oracle-certified too: single-token candidate
+    sims are exactly {-1, 0, 1}, so the greedy rep chain degenerates to
+    grouping by (bucket, sign) — rep = first of the class in
+    (relevance, term) order, the rest become its '|'-joined aliases."""
     from kargo_spark.embedrank import embedrank_scores
 
     d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
     w = d.select(
         "doc_id", F.explode(F.array_distinct(_toks(F.col("content")))).alias("word")
-    ).filter(F.length("word") >= 7)
+    ).filter(F.length("word") >= 4)
     cands = w.select(
         "doc_id", F.col("word").alias("lemma_term"), F.col("word").alias("term")
     )
-    return embedrank_scores(d, cands, n=3, alias_threshold=2.0)
+    return embedrank_scores(d, cands, n=3)
 
 
 def q_topic_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2417,7 +2418,7 @@ def oracle_sql() -> dict[str, str]:
             cand0 AS (
                 SELECT DISTINCT doc_id, word
                 FROM (SELECT doc_id, unnest({toks}) AS word FROM documents)
-                WHERE length(word) >= 7
+                WHERE length(word) >= 4
             ),
             candh AS (
                 SELECT doc_id, word, {_LE64("md5('42:' || word)")} AS h FROM cand0
@@ -2438,13 +2439,31 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY doc_id ORDER BY ds DESC, word) AS rn
                 FROM cand
             ),
-            s1 AS (SELECT * FROM c WHERE rn = 1),
+            -- alias collapse at threshold 0.7: single-token sims are
+            -- exactly +/-1 or 0, so alias classes are (bkt, sgn) groups;
+            -- rep = first of the class in global (ds DESC, word) order
+            cls AS (
+                SELECT c.*,
+                       row_number() OVER (PARTITION BY doc_id, bkt, sgn ORDER BY rn) AS crk
+                FROM c
+            ),
+            reps AS (
+                SELECT cl.doc_id, cl.word, cl.bkt, cl.sgn, cl.ds, cl.rn,
+                       coalesce(al.alias_str, '') AS aliases
+                FROM cls cl LEFT JOIN (
+                    SELECT doc_id, bkt, sgn,
+                           string_agg(word, '|' ORDER BY word) AS alias_str
+                    FROM cls WHERE crk > 1 GROUP BY 1, 2, 3
+                ) al ON al.doc_id = cl.doc_id AND al.bkt = cl.bkt AND al.sgn = cl.sgn
+                WHERE cl.crk = 1
+            ),
+            s1 AS (SELECT * FROM reps WHERE rn = 1),
             m2 AS (
                 SELECT c.*,
                        0.55 * c.ds - 0.45 * (CASE WHEN c.bkt = s1.bkt
                                                   THEN (c.sgn * s1.sgn)::DOUBLE
                                                   ELSE 0.0 END) AS mmr
-                FROM c JOIN s1 ON c.doc_id = s1.doc_id AND c.rn <> s1.rn
+                FROM reps c JOIN s1 ON c.doc_id = s1.doc_id AND c.rn <> s1.rn
             ),
             s2 AS (
                 SELECT * FROM (
@@ -2459,7 +2478,7 @@ def oracle_sql() -> dict[str, str]:
                            CASE WHEN c.bkt = s1.bkt THEN (c.sgn * s1.sgn)::DOUBLE ELSE 0.0 END,
                            CASE WHEN c.bkt = s2.bkt THEN (c.sgn * s2.sgn)::DOUBLE ELSE 0.0 END
                        ) AS mmr
-                FROM c
+                FROM reps c
                 JOIN s1 ON c.doc_id = s1.doc_id
                 JOIN s2 ON c.doc_id = s2.doc_id
                 WHERE c.rn <> s1.rn AND c.rn <> s2.rn
@@ -2471,15 +2490,15 @@ def oracle_sql() -> dict[str, str]:
                     FROM m3
                 ) WHERE pick = 1
             ),
-            nc AS (SELECT doc_id, count(*) AS n FROM c GROUP BY 1),
+            nc AS (SELECT doc_id, count(*) AS n FROM reps GROUP BY 1),
             sel AS (
-                SELECT doc_id, word, 0 AS r FROM s1
-                UNION ALL SELECT doc_id, word, 1 FROM s2
-                UNION ALL SELECT doc_id, word, 2 FROM s3
+                SELECT doc_id, word, aliases, 0 AS r FROM s1
+                UNION ALL SELECT doc_id, word, aliases, 1 FROM s2
+                UNION ALL SELECT doc_id, word, aliases, 2 FROM s3
             )
             SELECT s.doc_id, s.word AS ngram, s.word AS term,
                    (least(nc.n, 3) - s.r)::DOUBLE AS score,
-                   '' AS aliases
+                   s.aliases
             FROM sel s JOIN nc USING (doc_id)
         """,
         # --- topic_rank: singleton topics (single-word candidates), topic
