@@ -418,16 +418,45 @@ def q_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes
 
 
+def _sparse_bigram_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram triple store with genuine degree VARIANCE for the 2-hop
+    queries: words len>=4 (24-word vocab), lead-pairs, then keep only
+    edges with support >= the 80th percentile — the synthetic corpus's
+    full adjacency graph is saturated (every word neighbors every word,
+    degree 24 flat), so an unsparsified store either survives any cutoff
+    untouched or empties entirely (r04 ADVICE medium: the old query
+    compared EMPTY result sets). After sparsification degrees span 1-9
+    at sf0.001-0.01, so max_mid_degree=6 drops real hubs while rows
+    survive. The global percentile window is demo plumbing over a
+    vocab^2-bounded table, not a scale path."""
+    wp = _word_positions(spark, sf_dir).filter(F.length("word") >= 4)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    trip0 = (
+        wp.select("doc_id", F.col("word").alias("subj"),
+                  F.lead("word").over(w).alias("obj"))
+        .filter(F.col("obj").isNotNull())
+        .groupBy("subj", "obj")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    thr = F.expr("percentile(support, 0.8)").over(Window.partitionBy())
+    return (
+        trip0.withColumn("__thr", thr)
+        .filter(F.col("support") >= F.col("__thr"))
+        .select("subj", F.lit("precedes").alias("pred"), "obj", "support")
+    )
+
+
 def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-hop reachability over the materialized triple store (the
+    """2-hop reachability over the sparsified bigram triple store (the
     downstream graph query the Iceberg graph tables serve) — WITH the
-    hub-middle degree guard engaged (max_mid_degree=2), so the contract
-    exercises the skew path that keeps a top-degree middle node from
-    squaring the self-join at corpus scale (r02 verdict next-step #9);
-    the oracle replicates the degree cutoff."""
+    hub-middle degree guard engaged (max_mid_degree=6) AND a non-empty
+    surviving result, so the contract exercises the skew path that keeps
+    a top-degree middle from squaring the self-join at corpus scale on
+    data where the answer is actually checked (r04 ADVICE medium); the
+    oracle replicates the sparsification and the degree cutoff."""
     from kargo_spark.graph_store import two_hop
 
-    return two_hop(q_triples_agg(spark, sf_dir), max_mid_degree=2)
+    return two_hop(_sparse_bigram_triples(spark, sf_dir), max_mid_degree=6)
 
 
 def q_graph_2hop_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,12 +465,13 @@ def q_graph_2hop_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the middle key) — the self-join runs with zero Exchange, and the
     query RAISES if the composed plan ever contains more than the one
     expected Exchange (the final aggregation). Certifies that the
-    pay-the-shuffle-once table layout produces identical results to the
-    plain path (shared oracle SQL)."""
+    pay-the-shuffle-once table layout produces identical NON-EMPTY
+    results to the plain path (shared oracle SQL)."""
     from kargo_spark.graph_store import two_hop_bucketed
 
     return two_hop_bucketed(
-        q_triples_agg(spark, sf_dir), max_mid_degree=2, prefix="kargo_2hop_drv"
+        _sparse_bigram_triples(spark, sf_dir), max_mid_degree=6,
+        prefix="kargo_2hop_drv",
     )
 
 
@@ -718,9 +748,12 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kargo_spark.dedup import minhash_lsh_pairs
 
     d = _docs(spark, sf_dir)
-    return minhash_lsh_pairs(d, "text", "doc_id", jaccard_threshold=0.2).select(
-        "a", "b", F.round("jaccard", 6).alias("jaccard")
-    )
+    # broadcast_verify: this driver corpus is <= 50k docs at every sf the
+    # gate runs (sf0.001-1.0), so the map-side verify is safe and ~2.5x
+    # faster; the library default stays lazy/sort-merge for real scale.
+    return minhash_lsh_pairs(
+        d, "text", "doc_id", jaccard_threshold=0.2, broadcast_verify=True
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1712,13 +1745,23 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY head, tail
         """,
         "graph_2hop": f"""
-            WITH pairs AS ({cooc}),
+            WITH wp AS ({word_pos}),
+            m AS (SELECT doc_id, word, pos FROM wp WHERE length(word) >= 4),
+            led AS (
+                SELECT doc_id, word AS subj,
+                       lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS obj
+                FROM m
+            ),
+            trip0 AS (
+                SELECT subj, obj, count(*) AS support
+                FROM led WHERE obj IS NOT NULL GROUP BY subj, obj
+            ),
             trip AS (
-                SELECT head AS subj, tail AS obj, count(*) AS support
-                FROM pairs GROUP BY head, tail
+                SELECT subj, obj, support FROM trip0
+                WHERE support >= (SELECT quantile_cont(support, 0.8) FROM trip0)
             ),
             hot AS (
-                SELECT subj AS mid FROM trip GROUP BY subj HAVING count(*) > 2
+                SELECT subj AS mid FROM trip GROUP BY subj HAVING count(*) > 6
             ),
             t1 AS (
                 SELECT subj AS src, obj AS mid, support AS s1 FROM trip

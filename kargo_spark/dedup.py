@@ -138,11 +138,12 @@ def minhash_lsh_pairs(
     arrays to each candidate pair — two joins that, as sort-merge, each
     shuffle the pair table WITH array payloads. When the shingle table is
     small enough to broadcast, both joins go map-side (measured ~2.5x
-    faster verify at sf0.1). ``None`` (default) decides automatically
-    from a footer-only ``docs.count()``: broadcast below 50k docs
-    (~20 MB of arrays), sort-merge above — the 10^12-row path is
-    unchanged, this only accelerates small/medium corpora where the
-    broadcast is trivially safe.
+    faster verify at sf0.1). OPT-IN (``True``): the caller asserts the
+    corpus is small (≲50k docs / ~20 MB of shingle arrays). The default
+    (``False``/``None``) is sort-merge and stays fully lazy — an earlier
+    auto mode counted ``docs`` eagerly at DataFrame-construction time,
+    which for filtered/derived inputs is a full scan job before any dedup
+    work (r04 ADVICE low #1); the 10^12-row path must never pay that.
     """
     if bands is None:
         bands = derive_bands(num_hashes, jaccard_threshold)
@@ -176,19 +177,24 @@ def minhash_lsh_pairs(
             .filter(F.col("n") > max_bucket_size)
         )
         if capped_stats is not None:
-            # persist the (tiny) hot-bucket table so the eager stats job
-            # and the anti-join share one computation; the banding lineage
-            # it reads re-derives from the persisted `base` signatures,
-            # not from raw text
-            hot_buckets = hot_buckets.persist()
-            row = hot_buckets.agg(
-                F.count(F.lit(1)).alias("b"), F.coalesce(F.sum("n"), F.lit(0)).alias("r")
-            ).collect()[0]
-            capped_stats["dropped_buckets"] = int(row["b"])
-            capped_stats["dropped_rows"] = int(row["r"])
-        banded = banded.join(
-            hot_buckets.select("band", "bucket"), ["band", "bucket"], "left_anti"
-        )
+            # one eager job over the (tiny — hot buckets are by definition
+            # few) table, then rebuild it as a literal DataFrame for the
+            # anti-join: no lingering persist to leak cached blocks for the
+            # session lifetime (r04 ADVICE low #2), and the anti-join side
+            # broadcasts for free. The banding lineage the job reads
+            # re-derives from the persisted `base` signatures, not raw text.
+            rows = hot_buckets.collect()
+            capped_stats["dropped_buckets"] = len(rows)
+            capped_stats["dropped_rows"] = int(sum(r["n"] for r in rows))
+            if rows:
+                hot_lit = docs.sparkSession.createDataFrame(
+                    [(r["band"], r["bucket"]) for r in rows], "band int, bucket long"
+                )
+                banded = banded.join(F.broadcast(hot_lit), ["band", "bucket"], "left_anti")
+        else:
+            banded = banded.join(
+                hot_buckets.select("band", "bucket"), ["band", "bucket"], "left_anti"
+            )
     elif capped_stats is not None:
         capped_stats["dropped_buckets"] = 0
         capped_stats["dropped_rows"] = 0
@@ -209,8 +215,6 @@ def minhash_lsh_pairs(
         "id",
         F.transform("sh", lambda s: F.xxhash64(s, F.lit(seed))).alias("shh"),
     )
-    if broadcast_verify is None:
-        broadcast_verify = docs.count() <= 50_000
     sha_side = sh_tab.withColumnRenamed("id", "a").withColumnRenamed("shh", "sha")
     shb_side = sh_tab.withColumnRenamed("id", "b").withColumnRenamed("shh", "shb")
     if broadcast_verify:

@@ -41,7 +41,13 @@ def write_bucketed(
         # Handles file:-scheme AND bare-path local warehouse dirs;
         # db-qualified names only DROP (their location layout is the
         # metastore's business — the save will fail loudly if dangling).
+        # The dir is removed ONLY when confirmed dangling — no catalog
+        # entry claims it AND it looks like a Spark-written dataset
+        # (parquet parts/_SUCCESS, no foreign files). A same-named user
+        # directory in a pointed-at warehouse raises instead of being
+        # silently deleted (r04 ADVICE low #3).
         spark = df.sparkSession
+        existed = spark.catalog.tableExists(table)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
         if "." not in table:
@@ -53,9 +59,34 @@ def write_bucketed(
             elif warehouse.startswith("/"):
                 path = warehouse
             if path:
+                import os
                 import shutil
 
-                shutil.rmtree(f"{path}/{table.lower()}", ignore_errors=True)
+                loc = f"{path}/{table.lower()}"
+                if existed:
+                    # DROP of a managed table already cleared its data;
+                    # sweep any leftover dir at the default location (it
+                    # was this table's).
+                    shutil.rmtree(loc, ignore_errors=True)
+                elif os.path.isdir(loc):
+                    foreign = [
+                        n
+                        for n in os.listdir(loc)
+                        if not (
+                            n.startswith("part-")
+                            or n.startswith("_")
+                            or n.startswith(".")
+                        )
+                    ]
+                    if foreign:
+                        raise RuntimeError(
+                            f"write_bucketed(overwrite): {loc} exists, is not "
+                            f"claimed by the catalog, and does not look like a "
+                            f"Spark dataset (unexpected entries: {foreign[:5]}); "
+                            f"refusing to delete it — move it aside or choose "
+                            f"another table name/warehouse."
+                        )
+                    shutil.rmtree(loc, ignore_errors=True)
     writer = (
         df.write.mode(mode)
         .bucketBy(n_buckets, *bucket_cols)

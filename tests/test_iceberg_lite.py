@@ -141,6 +141,26 @@ def test_two_hop_paths_and_hub_cutoff(spark):
     assert ("a", "c") not in pruned and ("a", "f") in pruned
 
 
+def test_two_hop_bucketed_matches_plain_on_nonempty_result(spark):
+    """r04 ADVICE medium: the bucketed/plain parity was only ever compared
+    on EMPTY result sets (the old driver query's cutoff dropped every
+    middle). Certify value parity on data where rows actually survive,
+    both with the hub guard off and with it binding on one hub."""
+    from kargo_spark.graph_store import two_hop, two_hop_bucketed
+
+    triples = spark.createDataFrame(
+        [("a", "p", "hub", 5), ("b", "p", "hub", 2), ("hub", "p", "c", 3),
+         ("hub", "p", "d", 1), ("a", "p", "e", 9), ("e", "p", "f", 4)],
+        "subj string, pred string, obj string, support long",
+    )
+    for cutoff in (None, 1):
+        plain = sorted(map(tuple, two_hop(triples, max_mid_degree=cutoff).collect()))
+        bucketed = sorted(map(tuple, two_hop_bucketed(
+            triples, max_mid_degree=cutoff, prefix="kargo_2hop_paritytest"
+        ).collect()))
+        assert plain == bucketed and len(plain) > 0
+
+
 def test_commit_after_rollback_never_reuses_snapshot_ids(spark, tmp_path):
     """Code-review finding: snapshot ids were parent+1, so committing
     after rollback(1) reused id 2 and clobbered snapshot 2's data dir."""
