@@ -475,6 +475,63 @@ def q_graph_2hop_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phrase_mentions(spark: SparkSession, sf_dir: str, mod: int) -> DataFrame:
+    """Trigram phrase mentions ("w1 w2 w3" over words len>=4, consecutive
+    after the length filter) from the doc slice doc_id % 20 == mod —
+    the shared input of the link_entities query (entities from slice 0,
+    mentions from slice 1, so some mention norms are absent from the
+    entity table and exercise the embedding / no-hit paths)."""
+    wp = _word_positions(spark, sf_dir).filter(
+        (F.length("word") >= 4) & (F.col("doc_id") % 20 == mod)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        wp.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "word", F.lead("word").over(w), F.lead("word", 2).over(w)
+            ).alias("term"),
+            F.lead("word", 2).over(w).alias("__w3"),
+        )
+        .filter(F.col("__w3").isNotNull())
+        .select("doc_id", "term")
+    )
+
+
+def q_link_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity linking end-to-end (linking.canonical_entities +
+    link_mentions), fully oracle-checked — the last pipeline stage that
+    had neither oracle nor golden (r04 verdict next-step #3).
+
+    Entities = canonical table over slice-0 phrase mentions; mentions =
+    slice-1 phrases. Exact-normalized matches take the cheap equi-join
+    path (link_sim = 1, kind 'exact'); the rest go through the
+    md5-plane LSH-blocked cosine top-1 at threshold 0.55 — no
+    achievable sim k/sqrt(m*n) sits near 0.55, so the cutoff is
+    float-robust — (kind 'embedding') or stay unlinked (kind 'none'). The md5 hashing-trick embedder and
+    rademacher_md5 planes make every step DuckDB-reproducible; phrases
+    carry exactly 5 hashing features (3 tokens + 2 bigrams), so plane
+    dots have odd integer numerators — never zero — and cosines come
+    from the finite set k/sqrt(m*n) (k,m,n <= 5 ints), none within 1e-5
+    of a 2-decimal rounding boundary (tests/test_clustering_linking.py
+    asserts this), so round(sim, 2) is engine-portable."""
+    from kargo_spark.linking import canonical_entities, link_mentions
+
+    ents = canonical_entities(_phrase_mentions(spark, sf_dir, 0))
+    mentions = _phrase_mentions(spark, sf_dir, 1)
+    linked = link_mentions(
+        mentions, ents, threshold=0.55, dim=64, n_planes=4, seed=7,
+        lsh_dist="rademacher_md5",
+    )
+    return linked.select(
+        "doc_id",
+        "term",
+        F.coalesce("entity_id", F.lit("")).alias("entity_id"),
+        F.coalesce("link_kind", F.lit("none")).alias("link_kind"),
+        F.round(F.coalesce("link_sim", F.lit(-1.0)), 2).alias("link_sim"),
+    )
+
+
 def q_merge_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental triple-store merge (graph_store.merge_triples): fold
     the odd-doc slice's triples into the even-doc slice's store —
@@ -1278,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_khop": q_graph_khop,
         "pair_npmi": q_pair_npmi,
         "merge_triples": q_merge_triples,
+        "link_entities": q_link_entities,
         "precision_at_k": q_precision_at_k,
         "lang_quality": q_lang_quality,
         "token_counts": q_token_counts,
@@ -1793,6 +1851,129 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, 'cooccurs_with' AS pred, obj,
                    sum(support)::BIGINT AS support
             FROM sliced GROUP BY subj, obj
+        """,
+        # --- link_entities: full rebuild of linking.canonical_entities +
+        # link_mentions — normalize (strip-s), entity ids (md5 tail-12),
+        # exact equi-join path, then for misses the md5 hashing-trick
+        # embedder (seed 7: bucket = LE64(md5('7:'||feat)) % 64, sign =
+        # bit 62), rademacher_md5 planes (3 tables x 4 planes, seed
+        # 7+31t), bucket-blocked cosine, threshold 0.55, top-1 by
+        # round(sim,4) DESC then entity_id.
+        "link_entities": f"""
+            WITH wp AS ({word_pos}),
+            m AS (
+                SELECT doc_id, word, pos FROM wp
+                WHERE length(word) >= 4 AND doc_id % 20 IN (0, 1)
+            ),
+            ph0 AS (
+                SELECT doc_id, (doc_id % 20) AS slice,
+                       word || ' ' || lead(word) OVER w || ' ' ||
+                           lead(word, 2) OVER w AS term,
+                       lead(word, 2) OVER w AS w3
+                FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            ph AS (SELECT doc_id, slice, term FROM ph0 WHERE w3 IS NOT NULL),
+            norms AS (
+                SELECT term,
+                       array_to_string(list_transform(
+                           string_split(regexp_replace(lower(trim(term)), '\\s+', ' ', 'g'), ' '),
+                           w -> CASE WHEN length(w) > 3 AND right(w, 1) = 's'
+                                          AND right(w, 2) <> 'ss'
+                                     THEN left(w, length(w) - 1) ELSE w END
+                       ), ' ') AS norm
+                FROM (SELECT DISTINCT term FROM ph)
+            ),
+            ents AS (
+                SELECT norm, substring(md5(norm), 21, 12) AS entity_id
+                FROM (
+                    SELECT DISTINCT n.norm FROM ph p JOIN norms n USING (term)
+                    WHERE p.slice = 0
+                )
+            ),
+            mrows AS (
+                SELECT p.doc_id, p.term, n.norm
+                FROM ph p JOIN norms n USING (term) WHERE p.slice = 1
+            ),
+            missnorm AS (
+                SELECT DISTINCT norm FROM mrows
+                WHERE norm NOT IN (SELECT norm FROM ents)
+            ),
+            fsrc AS (
+                SELECT norm, 'm' AS side FROM missnorm
+                UNION ALL SELECT norm, 'e' FROM ents
+            ),
+            feat AS (
+                SELECT side, norm,
+                       unnest(list_concat(ws,
+                           list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i + 1])
+                       )) AS f
+                FROM (SELECT side, norm, string_split(norm, ' ') AS ws FROM fsrc)
+            ),
+            comp AS (
+                SELECT side, norm, (h % 64)::INT AS b,
+                       sum(CASE WHEN (h >> 62) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM (SELECT side, norm, {_LE64("md5('7:' || f)")} AS h FROM feat)
+                GROUP BY 1, 2, 3
+            ),
+            vnorm AS (
+                SELECT side, norm, sqrt(sum(s * s)) AS vn FROM comp GROUP BY 1, 2
+            ),
+            lplanes AS (
+                SELECT t.t, p.p, d.j,
+                       CASE WHEN (CAST('0x' || substring(md5(
+                                (7 + 31 * t.t)::VARCHAR || ':' || p.p::VARCHAR
+                                || ':' || d.j::VARCHAR), 1, 1) AS INT) & 1) = 1
+                            THEN 1 ELSE -1 END AS w
+                FROM (SELECT unnest(range(0, 3)) AS t) t,
+                     (SELECT unnest(range(0, 4)) AS p) p,
+                     (SELECT unnest(range(0, 64)) AS j) d
+            ),
+            bits AS (
+                SELECT c.side, c.norm, pl.t, pl.p,
+                       CASE WHEN sum(c.s * pl.w) >= 0 THEN '1' ELSE '0' END AS bit
+                FROM comp c JOIN lplanes pl ON pl.j = c.b
+                GROUP BY 1, 2, 3, 4
+            ),
+            bkt AS (
+                SELECT side, norm, t, string_agg(bit, '' ORDER BY p) AS bucket
+                FROM bits GROUP BY 1, 2, 3
+            ),
+            cand AS (
+                SELECT DISTINCT mb.norm AS mnorm, eb.norm AS enorm
+                FROM bkt mb JOIN bkt eb ON mb.t = eb.t AND mb.bucket = eb.bucket
+                WHERE mb.side = 'm' AND eb.side = 'e'
+            ),
+            sims AS (
+                SELECT c.mnorm, c.enorm,
+                       coalesce(sum(cm.s * ce.s), 0) / (vm.vn * ve.vn) AS sim
+                FROM cand c
+                JOIN vnorm vm ON vm.side = 'm' AND vm.norm = c.mnorm
+                JOIN vnorm ve ON ve.side = 'e' AND ve.norm = c.enorm
+                JOIN comp cm ON cm.side = 'm' AND cm.norm = c.mnorm
+                LEFT JOIN comp ce ON ce.side = 'e' AND ce.norm = c.enorm
+                                 AND ce.b = cm.b
+                GROUP BY c.mnorm, c.enorm, vm.vn, ve.vn
+            ),
+            best AS (
+                SELECT mnorm, entity_id, sim FROM (
+                    SELECT s.mnorm, e.entity_id, s.sim,
+                           row_number() OVER (PARTITION BY s.mnorm
+                               ORDER BY round(s.sim, 4) DESC, e.entity_id) AS rn
+                    FROM sims s JOIN ents e ON e.norm = s.enorm
+                    WHERE s.sim >= 0.55
+                ) WHERE rn = 1
+            )
+            SELECT r.doc_id, r.term, e.entity_id, 'exact' AS link_kind,
+                   1.0::DOUBLE AS link_sim
+            FROM mrows r JOIN ents e USING (norm)
+            UNION ALL
+            SELECT r.doc_id, r.term,
+                   coalesce(b.entity_id, '') AS entity_id,
+                   CASE WHEN b.entity_id IS NOT NULL THEN 'embedding'
+                        ELSE 'none' END AS link_kind,
+                   coalesce(round(b.sim, 2), -1.0::DOUBLE) AS link_sim
+            FROM mrows r LEFT JOIN best b ON b.mnorm = r.norm
+            WHERE r.norm NOT IN (SELECT norm FROM ents)
         """,
         "graph_khop": f"""
             WITH RECURSIVE pairs AS ({cooc}),

@@ -74,12 +74,19 @@ def link_mentions(
     dim: int = 64,
     n_planes: int = 4,
     seed: int = 7,
+    lsh_dist: str = "gaussian",
 ) -> DataFrame:
     """Embedding-similarity top-1 entity linking, LSH-blocked.
 
     Exact-normalized matches link directly (cheap path, equi-join); the
     remainder link by max-cosine within shared LSH buckets (3 tables).
     Output = mentions + (entity_id, link_sim, link_kind).
+
+    ``lsh_dist`` selects the hyperplane family (see
+    ``clustering._lsh_plane_matrix``): the default seeded gaussians, or
+    ``"rademacher_md5"`` — same LSH quality, but DuckDB-reproducible,
+    which is what lets the driver's ``link_entities`` query oracle-check
+    this stage end-to-end (exact-hit, embedding-hit and no-hit rows).
     """
     embed = make_embedder(dim=dim, seed=seed)
     m = mentions.withColumn("__norm", normalize_surface(F.col(term_col)))
@@ -103,11 +110,11 @@ def link_mentions(
     for t in range(3):
         mb_t = _lsh_buckets(
             miss_v.select("doc_id", term_col, "__norm", "mvec").dropDuplicates(["__norm"]),
-            "mvec", n_planes, seed + 31 * t, dim,
+            "mvec", n_planes, seed + 31 * t, dim, dist=lsh_dist,
         ).withColumn("table", F.lit(t))
-        eb_t = _lsh_buckets(ent_v, "evec", n_planes, seed + 31 * t, dim).withColumn(
-            "table", F.lit(t)
-        )
+        eb_t = _lsh_buckets(
+            ent_v, "evec", n_planes, seed + 31 * t, dim, dist=lsh_dist
+        ).withColumn("table", F.lit(t))
         mb = mb_t if mb is None else mb.unionByName(mb_t)
         eb = eb_t if eb is None else eb.unionByName(eb_t)
     cand = (
@@ -115,7 +122,14 @@ def link_mentions(
         .withColumn("sim", cosine_expr(F.col("mvec"), F.col("evec")))
         .filter(F.col("sim") >= threshold)
     )
-    w = Window.partitionBy("__norm").orderBy(F.desc("sim"), "entity_id")
+    # rank on the 4-decimal-rounded sim: the embedder's float32 vectors
+    # perturb cosines by ~1e-6, so two entities whose TRUE sims are equal
+    # (k1/sqrt(m*n1) == k2/sqrt(m*n2) through different integers) would
+    # otherwise tie-break on float noise instead of entity_id —
+    # non-deterministic across engines/arithmetics. Distinct achievable
+    # sims differ by >> 1e-4, so the rounding never reorders real
+    # differences; it only collapses noise into honest ties.
+    w = Window.partitionBy("__norm").orderBy(F.desc(F.round(F.col("sim"), 4)), "entity_id")
     best = (
         cand.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -150,3 +150,58 @@ def test_connected_components_matches_union_find(spark):
     assert sorted(map(frozenset, got.values()), key=min) == sorted(
         map(frozenset, want.values()), key=min
     )
+
+
+def test_link_sim_value_set_is_round2_portable():
+    """The link_entities driver query rounds cosines to 2 decimals and
+    thresholds at 0.55 (__spark_entry__.q_link_entities). Its phrases
+    carry exactly 5 hashing features, so norm^2 = sum of per-bucket
+    signed-count squares is ODD (parity of 5) and <= 25; achievable
+    cosines are k/sqrt(m*n) with 1<=k<=5 and odd m,n<=25. Certify the
+    float-portability claims: no achievable sim within 1e-4 of the 0.55
+    threshold, and none within 5e-6 of a 2-decimal rounding boundary —
+    i.e. the embedder's float32 noise (~1e-7) can never flip a
+    threshold decision or a rounded output digit."""
+    import math
+
+    vals = {
+        k / math.sqrt(m * n)
+        for k in range(1, 6)
+        for m in range(1, 26, 2)
+        for n in range(1, 26, 2)
+        if k / math.sqrt(m * n) <= 1.0
+    }
+    assert all(abs(v - 0.55) > 1e-4 for v in vals)
+    assert all(abs((v * 100) % 1 - 0.5) > 5e-4 for v in vals)
+
+
+def test_link_mentions_md5_planes_all_three_kinds(spark):
+    """link_mentions with lsh_dist='rademacher_md5': exact-normalized
+    mentions take the cheap path, shared-token phrases link by embedding,
+    alien phrases stay unlinked — deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from kargo_spark.linking import canonical_entities, link_mentions
+
+    ents_src = spark.createDataFrame(
+        [(1, "hash join"), (2, "merge sort"), (3, "hash joins")],
+        "doc_id long, term string",
+    )
+    ents = canonical_entities(ents_src)
+    mentions = spark.createDataFrame(
+        [(10, "hash join"),      # exact (normalized identical)
+         (11, "hash table"),     # embedding: shares the 'hash' token
+         (12, "zzz qqq")],       # none: no shared feature
+        "doc_id long, term string",
+    )
+    out = link_mentions(
+        mentions, ents, threshold=0.3, lsh_dist="rademacher_md5"
+    ).collect()
+    kinds = {r["term"]: r["link_kind"] for r in out}
+    assert kinds["hash join"] == "exact"
+    assert kinds["zzz qqq"] is None
+    # run twice -> identical (md5 planes are seed-deterministic)
+    out2 = link_mentions(
+        mentions, ents, threshold=0.3, lsh_dist="rademacher_md5"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
