@@ -1310,7 +1310,141 @@ def q_word_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract surface
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Tagged union suites.
+#
+# The driver's correctness gate checks AT MOST ~50 queries, in dict order
+# (CORRECTNESS_r04 contains exactly the first 50 of 58 contract keys —
+# r04 verdict next-step #1). Rather than let 8 queries fall off the end
+# invisibly, closely-related queries are consolidated into tagged UNION
+# suites with a unified schema: each former query survives verbatim as a
+# `part` of its suite (same library calls, same oracle SQL wrapped as a
+# tagged subquery), and the whole contract fits in 50 driver-visible
+# keys. Column casts exist only to unify part schemas; values are
+# untouched.
+# ---------------------------------------------------------------------------
+
+def q_set_relalg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """anti_join + semi_join + set_ops as one tagged suite:
+    (part, k, n) where k is the former group key rendered as a string."""
+    a = q_anti_join(spark, sf_dir).select(
+        F.lit("anti_join").alias("part"),
+        F.col("c_nationkey").cast("string").alias("k"),
+        F.col("n_customers").alias("n"),
+    )
+    s = q_semi_join(spark, sf_dir).select(
+        F.lit("semi_join").alias("part"),
+        F.col("s_nationkey").cast("string").alias("k"),
+        F.col("n_suppliers").alias("n"),
+    )
+    o = q_set_ops(spark, sf_dir).select(
+        F.lit("set_ops").alias("part"), F.col("side").alias("k"), F.col("n")
+    )
+    return a.unionByName(s).unionByName(o)
+
+
+def q_docterm_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_stats + terms_stats: (part, doc_id, n, v1, v2)."""
+    d = q_doc_stats(spark, sf_dir).select(
+        F.lit("doc_stats").alias("part"), "doc_id",
+        F.col("n_words").alias("n"),
+        F.col("n_distinct").cast("double").alias("v1"),
+        F.col("mean_word_len").alias("v2"),
+    )
+    t = q_terms_stats(spark, sf_dir).select(
+        F.lit("terms_stats").alias("part"), "doc_id",
+        F.col("n_terms").alias("n"),
+        F.col("mean_words_per_term").alias("v1"),
+        F.col("mean_term_chars").alias("v2"),
+    )
+    return d.unionByName(t)
+
+
+def q_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_window + sessionize: (part, k1, k2, n, v)."""
+    e = q_events_window(spark, sf_dir).select(
+        F.lit("events_window").alias("part"),
+        F.col("hour_epoch").alias("k1"), F.col("event_type").alias("k2"),
+        F.col("n"), F.col("total_value").alias("v"),
+    )
+    s = q_sessionize(spark, sf_dir).select(
+        F.lit("sessionize").alias("part"),
+        F.col("user_id").alias("k1"), F.lit("").alias("k2"),
+        F.col("n_sessions").alias("n"),
+        F.col("n_events").cast("double").alias("v"),
+    )
+    return e.unionByName(s)
+
+
+def q_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """precision_at_k + relative_recall: (part, method, k, mean_val,
+    std_val, n_docs) — relative_recall has no std, pinned 0.0."""
+    p = q_precision_at_k(spark, sf_dir).select(
+        F.lit("precision_at_k").alias("part"), F.lit("").alias("method"),
+        "k", F.col("mean_precision").alias("mean_val"),
+        F.col("std_precision").alias("std_val"), "n_docs",
+    )
+    r = q_relative_recall(spark, sf_dir).select(
+        F.lit("relative_recall").alias("part"), "method",
+        "k", F.col("mean_recall").alias("mean_val"),
+        F.lit(0.0).alias("std_val"), "n_docs",
+    )
+    return p.unionByName(r)
+
+
+def q_textstats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_counts + fingerprint + lang_quality in long form:
+    (part, doc_id, k, v_str, v_num) — one row per former cell, so every
+    value of every part is hash-compared without schema contortions."""
+    tc = q_token_counts(spark, sf_dir).selectExpr(
+        "'token_counts' AS part", "doc_id",
+        "stack(2, 'n_words', cast(n_words AS double), "
+        "'n_tokens_bpe_est', cast(n_tokens_bpe_est AS double)) AS (k, v_num)",
+    ).select("part", "doc_id", "k", F.lit("").alias("v_str"), "v_num")
+    fp = q_fingerprint(spark, sf_dir).select(
+        F.lit("fingerprint").alias("part"), "doc_id", F.lit("fp").alias("k"),
+        F.col("fp").alias("v_str"), F.lit(0.0).alias("v_num"),
+    )
+    lq = q_lang_quality(spark, sf_dir).selectExpr(
+        "'lang_quality' AS part", "doc_id", "lang_pred",
+        "stack(4, 'mean_word_len', mean_word_len, 'stopword_ratio', stopword_ratio, "
+        "'alpha_ratio', alpha_ratio, 'quality', quality) AS (k, v_num)",
+    ).select(
+        "part", "doc_id", "k", F.lit("").alias("v_str"), "v_num"
+    ).unionByName(
+        q_lang_quality(spark, sf_dir).select(
+            F.lit("lang_quality").alias("part"), "doc_id",
+            F.lit("lang_pred").alias("k"),
+            F.col("lang_pred").alias("v_str"), F.lit(0.0).alias("v_num"),
+        )
+    )
+    return tc.unionByName(fp).unionByName(lq)
+
+
+def q_graph_2hop_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_2hop (plain) + graph_2hop_bucketed as one suite: both parts
+    must hash-match the SAME oracle rows, which certifies plain/bucketed
+    value parity inside the driver gate itself. The bucketed part still
+    RAISES if its composed plan shuffles the join."""
+    p = q_graph_2hop(spark, sf_dir).withColumn("part", F.lit("plain"))
+    b = q_graph_2hop_bucketed(spark, sf_dir).withColumn("part", F.lit("bucketed"))
+    return p.unionByName(b).select("part", "src", "dst", "n_paths", "path_support")
+
+
+def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_lsh + ann_ivf: (part, query_id, nbr_id, cos, rank)."""
+    l = q_ann_lsh(spark, sf_dir).withColumn("part", F.lit("lsh"))
+    i = q_ann_ivf(spark, sf_dir).withColumn("part", F.lit("ivf"))
+    return l.unionByName(i).select("part", "query_id", "nbr_id", "cos", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # EXACTLY 50 keys: the driver correctness gate checks at most ~50
+    # queries in dict order (r04 evidence), so the contract is
+    # consolidated to fit — 46 fully oracle-backed queries first, then
+    # the 4 structurally rows-only/golden ones. Former standalone
+    # queries live on as parts of the *_suite entries (see the suite
+    # docstrings); their library code paths and oracle SQL are unchanged.
     return {
         "docs_clean": q_docs_clean,
         "dedup_exact": q_dedup_exact,
@@ -1319,30 +1453,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "kpminer_topk": q_kpminer_topk,
         "yake_topk": q_yake_topk,
-        "terms_stats": q_terms_stats,
-        "doc_stats": q_doc_stats,
-        "events_window": q_events_window,
-        "sessionize": q_sessionize,
-        "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
-        "set_ops": q_set_ops,
+        "docterm_stats_suite": q_docterm_stats_suite,
+        "events_suite": q_events_suite,
+        "set_relalg_suite": q_set_relalg_suite,
         "topk_window": q_topk_window,
         "cooc_pairs": q_cooc_pairs,
         "triples_agg": q_triples_agg,
         "graph_nodes": q_graph_nodes,
-        "graph_2hop": q_graph_2hop,
-        "graph_2hop_bucketed": q_graph_2hop_bucketed,
+        "graph_2hop_suite": q_graph_2hop_suite,
         "graph_khop": q_graph_khop,
         "pair_npmi": q_pair_npmi,
         "merge_triples": q_merge_triples,
         "link_entities": q_link_entities,
-        "precision_at_k": q_precision_at_k,
-        "lang_quality": q_lang_quality,
-        "token_counts": q_token_counts,
-        "fingerprint": q_fingerprint,
+        "eval_suite": q_eval_suite,
+        "textstats_suite": q_textstats_suite,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "neardup_keep": q_neardup_keep,
         "ann_bruteforce": q_ann_bruteforce,
+        "ann_suite": q_ann_suite,
+        "recall_audit": q_recall_audit,
         "embedding_stats": q_embedding_stats,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "word_pagerank": q_word_pagerank,
@@ -1353,7 +1482,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
         "terms_csv": q_terms_csv,
-        "relative_recall": q_relative_recall,
         "merge_spans": q_merge_spans,
         "minhash_neardup": q_minhash_neardup,
         "multimodal_features": q_multimodal_features,
@@ -1364,9 +1492,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_rank": q_topic_rank,
         "corpus_pagerank": q_corpus_pagerank,
         "corpus_summary": q_corpus_summary,
-        "recall_audit": q_recall_audit,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
         # rows-only (no SQL oracle): embedding_neardup is probabilistic
         # blocking with an oracle-checked exact twin; kg_pipeline_triples
         # is pinned to a committed golden snapshot
@@ -1376,7 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "lda_topics": q_lda_topics,
         # golden-constant gate (oracle = committed snapshot, NOT an
-        # independent derivation — see the query docstring):
+        # independent derivation - see the query docstring):
         "kg_pipeline_golden": q_kg_pipeline_golden,
     }
 
@@ -2990,8 +3115,76 @@ def oracle_sql() -> dict[str, str]:
             FROM ivfr r JOIN exn x USING (query_id)
         """,
     }
-    # identical semantics through the bucketed store — same oracle
-    out["graph_2hop_bucketed"] = out["graph_2hop"]
+    # ---- tagged-union suite oracles: wrap each former standalone oracle
+    # as a part of its suite (see the q_*_suite docstrings) — the SQL of
+    # every part is byte-identical to its standalone form above, only
+    # re-projected into the unified suite schema.
+    out["set_relalg_suite"] = f"""
+        SELECT 'anti_join' AS part, c_nationkey::VARCHAR AS k, n_customers AS n
+        FROM ({out.pop("anti_join")})
+        UNION ALL
+        SELECT 'semi_join' AS part, s_nationkey::VARCHAR AS k, n_suppliers AS n
+        FROM ({out.pop("semi_join")})
+        UNION ALL
+        SELECT 'set_ops' AS part, side AS k, n FROM ({out.pop("set_ops")})
+    """
+    out["docterm_stats_suite"] = f"""
+        SELECT 'doc_stats' AS part, doc_id, n_words AS n,
+               n_distinct::DOUBLE AS v1, mean_word_len AS v2
+        FROM ({out.pop("doc_stats")})
+        UNION ALL
+        SELECT 'terms_stats' AS part, doc_id, n_terms AS n,
+               mean_words_per_term AS v1, mean_term_chars AS v2
+        FROM ({out.pop("terms_stats")})
+    """
+    out["events_suite"] = f"""
+        SELECT 'events_window' AS part, hour_epoch AS k1, event_type AS k2,
+               n, total_value AS v
+        FROM ({out.pop("events_window")})
+        UNION ALL
+        SELECT 'sessionize' AS part, user_id AS k1, '' AS k2,
+               n_sessions AS n, n_events::DOUBLE AS v
+        FROM ({out.pop("sessionize")})
+    """
+    out["eval_suite"] = f"""
+        SELECT 'precision_at_k' AS part, '' AS method, k,
+               mean_precision AS mean_val, std_precision AS std_val, n_docs
+        FROM ({out.pop("precision_at_k")})
+        UNION ALL
+        SELECT 'relative_recall' AS part, method, k,
+               mean_recall AS mean_val, 0.0::DOUBLE AS std_val, n_docs
+        FROM ({out.pop("relative_recall")})
+    """
+    out["textstats_suite"] = f"""
+        WITH tc AS ({out.pop("token_counts")}),
+        lq AS ({out.pop("lang_quality")})
+        SELECT 'token_counts' AS part, doc_id, 'n_words' AS k,
+               '' AS v_str, n_words::DOUBLE AS v_num FROM tc
+        UNION ALL
+        SELECT 'token_counts', doc_id, 'n_tokens_bpe_est', '',
+               n_tokens_bpe_est::DOUBLE FROM tc
+        UNION ALL
+        SELECT 'fingerprint', doc_id, 'fp', fp, 0.0::DOUBLE
+        FROM ({out.pop("fingerprint")})
+        UNION ALL SELECT 'lang_quality', doc_id, 'mean_word_len', '', mean_word_len FROM lq
+        UNION ALL SELECT 'lang_quality', doc_id, 'stopword_ratio', '', stopword_ratio FROM lq
+        UNION ALL SELECT 'lang_quality', doc_id, 'alpha_ratio', '', alpha_ratio FROM lq
+        UNION ALL SELECT 'lang_quality', doc_id, 'quality', '', quality FROM lq
+        UNION ALL SELECT 'lang_quality', doc_id, 'lang_pred', lang_pred, 0.0::DOUBLE FROM lq
+    """
+    # both parts of the 2-hop suite must equal the SAME oracle rows —
+    # plain/bucketed value parity is certified by the driver gate itself
+    g2 = out.pop("graph_2hop")
+    out["graph_2hop_suite"] = f"""
+        SELECT 'plain' AS part, * FROM ({g2})
+        UNION ALL
+        SELECT 'bucketed' AS part, * FROM ({g2})
+    """
+    out["ann_suite"] = f"""
+        SELECT 'lsh' AS part, * FROM ({out.pop("ann_lsh")})
+        UNION ALL
+        SELECT 'ivf' AS part, * FROM ({out.pop("ann_ivf")})
+    """
     # COMMITTED GOLDEN CONSTANT for the composite pipeline at the
     # driver's correctness scale (sf0.01): 326 triples, orderless sum of
     # 48-bit row hashes. Regenerate deliberately (and update here) when

@@ -23,20 +23,24 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# r05 renames (contract consolidation to 50 driver-visible keys):
+# precision_at_k -> eval_suite (+ relative_recall), lang_quality +
+# fingerprint -> textstats_suite (+ token_counts), sessionize ->
+# events_suite (+ events_window). Suite timings therefore cover a
+# superset of the former standalone queries' work.
 HEADLINE = [
     "yake_topk",
     "tfidf_topk",
     "doc_frequency",
     "triples_agg",
-    "precision_at_k",
+    "eval_suite",
     "minhash_neardup",
     "simhash_neardup",
     "ann_bruteforce",
-    "lang_quality",
-    "fingerprint",
+    "textstats_suite",
     "repetition_stats",
     "decontaminate",
-    "sessionize",
+    "events_suite",
     "kg_pipeline_triples",
 ]
 
