@@ -186,6 +186,144 @@ def two_hop_bucketed(
     return result
 
 
+def two_hop_from_store(
+    spark, prefix: str = "kargo_graph", assert_shuffle_free: bool = True
+) -> DataFrame:
+    """Serve the 2-hop query off the PERSISTED bucketed substrate written
+    by ``storage.write_graph_bucketed(..., two_hop_ready=True)`` — no
+    per-query re-derivation of the hop tables at all. Both hop
+    orientations are already bucketed+sorted on ``mid`` with matching
+    bucket counts, so the join plans with ZERO Exchange besides the final
+    (src, dst) aggregation — the shape ``run_pipeline`` leaves behind so
+    repeated graph queries never re-shuffle the store. Same semantics as
+    ``two_hop`` (the hub guard, if any, was applied at write time).
+    """
+    joined = spark.table(f"{prefix}_hop_t1").join(
+        spark.table(f"{prefix}_hop_t2"), "mid"
+    )
+    result = (
+        joined.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(
+            F.countDistinct("mid").alias("n_paths"),
+            F.sum(F.least("s1", "s2")).alias("path_support"),
+        )
+    )
+    if assert_shuffle_free:
+        plan = result._jdf.queryExecution().executedPlan().toString()
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        if n_exchanges > 1:
+            raise AssertionError(
+                f"2-hop over the persisted store planned {n_exchanges} "
+                "shuffles (expected only the final aggregation) — bucket "
+                "layout not engaged:\n" + plan
+            )
+    return result
+
+
+def merge_into_graph_store(
+    spark,
+    new: DataFrame,
+    prefix: str = "kargo_graph",
+    assert_store_side_local: bool = True,
+    **write_kwargs,
+) -> DataFrame:
+    """Incremental ingest against the PERSISTED store: fold a new batch
+    into the ``{prefix}_triples`` bucketed table and refresh the derived
+    node/edge/hop tables. Same result as ``merge_triples(store, new)``
+    (tested row-for-row) but with the store-scale economics: the merge is
+    a full-outer join on the bucketed (subj, pred, obj) key, so ONLY the
+    new batch shuffles — the 10^12-row store side scans its bucketed
+    layout in place (``assert_store_side_local`` raises if the plan says
+    otherwise). The refreshed tables are written to staging names and
+    swapped in via catalog rename, so a reader never sees a dropped
+    store, and the swap only happens after the merged data is fully
+    written (kill-safe: a killed merge leaves the old store intact; the
+    swap itself is per-table atomic, not cross-table — pair with the
+    pipeline's iceberg_lite triples snapshot, from which the serving
+    tables are rebuildable, for torn-swap recovery).
+
+    ``write_kwargs`` pass through to ``storage.write_graph_bucketed``
+    (``two_hop_ready``, ``max_mid_degree``, ``n_buckets``).
+    """
+    from .storage import write_graph_bucketed
+
+    # subset co-partitioning must be allowed for the (subj, obj) bucket
+    # layout to serve the 3-key merge join (see write_graph_bucketed);
+    # runtime-settable, so enforce it here for sessions not built by
+    # session.get_spark
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    store_tbl = f"{prefix}_triples"
+    store = spark.table(store_tbl)
+    new_agg = new.groupBy("subj", "pred", "obj").agg(
+        F.sum("support").alias("support")
+    )
+    merged = (
+        store.alias("s")
+        .join(new_agg.alias("n"), ["subj", "pred", "obj"], "full_outer")
+        .select(
+            "subj", "pred", "obj",
+            (
+                F.coalesce(F.col("s.support"), F.lit(0))
+                + F.coalesce(F.col("n.support"), F.lit(0))
+            ).alias("support"),
+        )
+    )
+    if assert_store_side_local:
+        # the NEW side is an arbitrary chain (its own shuffles are
+        # legitimate); the contract is about the STORE side only: its
+        # FileScan must engage the bucketed layout and feed the join
+        # without an Exchange above it.
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        scan_idx = [
+            i for i, ln in enumerate(lines)
+            if "FileScan parquet" in ln and store_tbl in ln
+        ]
+        bad = not scan_idx or any(
+            "Bucketed: true" not in lines[i]
+            or (i > 0 and "Exchange" in lines[i - 1])
+            for i in scan_idx
+        )
+        if bad:
+            raise AssertionError(
+                "store-side merge scan is not bucketed or is re-shuffled "
+                "— layout not engaged (bucket count must equal "
+                "spark.sql.shuffle.partitions):\n" + plan
+            )
+    stage = f"{prefix}__stage"
+    write_graph_bucketed(spark, merged, prefix=stage, **write_kwargs)
+    # swap: staging tables exist and are complete; now atomically (per
+    # table) retire the old generation. Catalog rename moves the managed
+    # location with it (probed r05: bucketing spec survives the rename).
+    suffixes = ["_nodes", "_edges", "_triples"]
+    if write_kwargs.get("two_hop_ready"):
+        suffixes += ["_hop_t1", "_hop_t2"]
+    for suf in suffixes:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}{suf}")
+        _sweep_dangling_location(spark, f"{prefix}{suf}")
+        spark.sql(f"ALTER TABLE {stage}{suf} RENAME TO {prefix}{suf}")
+    return spark.table(store_tbl)
+
+
+def _sweep_dangling_location(spark, table: str) -> None:
+    """After DROP TABLE, clear a leftover default-location dir (a fresh
+    in-memory metastore over an old warehouse can leave one) so the
+    following catalog RENAME's location move cannot collide."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    path = None
+    if warehouse.startswith("file:"):
+        from urllib.parse import urlparse
+
+        path = urlparse(warehouse).path
+    elif warehouse.startswith("/"):
+        path = warehouse
+    if path and "." not in table:
+        import shutil
+
+        shutil.rmtree(f"{path}/{table.lower()}", ignore_errors=True)
+
+
 def graph_tables(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(subj, pred, obj, support) -> (nodes, edges).
 

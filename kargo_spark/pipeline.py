@@ -85,6 +85,8 @@ def run_pipeline(
     exact_cluster_max: int = 20_000,
     resume: bool = True,
     use_snapshots: bool = False,
+    graph_prefix: str | None = None,
+    graph_max_mid_degree: int | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full DAG; returns every stage table by name.
 
@@ -95,6 +97,16 @@ def run_pipeline(
     scalable path (r01 defect: exact was the unconditional default).
     ``linking=False`` skips the entities/links stages entirely — callers
     that only want triples must not pay for eager stage materialization.
+
+    ``graph_prefix`` engages the bucketed graph substrate as the
+    pipeline's OWN output layout (not just a demo query): the triples
+    stage is additionally published via ``storage.write_graph_bucketed``
+    as catalog tables ``{prefix}_{triples,nodes,edges,hop_t1,hop_t2}``,
+    paying the (subj, pred, obj) / mid shuffles once at write time so
+    every later 2-hop (``graph_store.two_hop_from_store``, zero
+    Exchange) and incremental merge (``ingest_increment`` /
+    ``graph_store.merge_into_graph_store``, new batch only shuffles)
+    reuses the layout — the economics that matter at 10^12 triples.
     """
     ck = CheckpointRunner(spark, workdir, resume=resume, use_snapshots=use_snapshots)
 
@@ -161,6 +173,23 @@ def run_pipeline(
                 ments.select("doc_id", "term").dropDuplicates(), entities
             ),
         )
+    graph_out: dict[str, DataFrame] = {}
+    if graph_prefix is not None:
+        from .storage import write_graph_bucketed
+
+        write_graph_bucketed(
+            spark,
+            triples,
+            prefix=graph_prefix,
+            two_hop_ready=True,
+            max_mid_degree=graph_max_mid_degree,
+        )
+        graph_out = {
+            "graph_triples": spark.table(f"{graph_prefix}_triples"),
+            "graph_nodes": spark.table(f"{graph_prefix}_nodes"),
+            "graph_edges": spark.table(f"{graph_prefix}_edges"),
+        }
+
     out = {
         "docs_clean": docs_clean,
         "tokens": tokens,
@@ -179,4 +208,47 @@ def run_pipeline(
     if linking:
         out["entities"] = entities
         out["links"] = links
+    out.update(graph_out)
     return out
+
+
+def ingest_increment(
+    spark: SparkSession,
+    documents: DataFrame,
+    graph_prefix: str = "kargo_graph",
+    ranker: str = "tfidf",
+    n_terms: int = 15,
+    snapshot_root: str | None = None,
+    graph_max_mid_degree: int | None = None,
+) -> DataFrame:
+    """Fold a NEW batch of documents into an existing bucketed graph
+    store (written by ``run_pipeline(graph_prefix=...)``) without
+    recomputing the store: the batch runs the lazy docs→triples chain
+    (``triples_chain`` — increments use the unclustered predicate path,
+    the same semantics the ``merge_triples`` contract query certifies),
+    then upserts via ``graph_store.merge_into_graph_store`` — the store
+    side scans its bucketed layout, only the batch shuffles — and the
+    node/edge/hop serving tables are refreshed and swapped in.
+
+    With ``snapshot_root``, the merged triples are also committed as an
+    Iceberg-lite snapshot (one snapshot per ingest → time travel across
+    ingest generations, rollback on a bad batch, and the rebuild source
+    for torn-swap recovery). Returns the merged triples table.
+    """
+    from .graph_store import merge_into_graph_store
+
+    new_triples, cached = triples_chain(documents, ranker=ranker, n_terms=n_terms)
+    merged = merge_into_graph_store(
+        spark,
+        new_triples,
+        prefix=graph_prefix,
+        two_hop_ready=True,
+        max_mid_degree=graph_max_mid_degree,
+    )
+    for df in cached:
+        df.unpersist()
+    if snapshot_root is not None:
+        from .iceberg_lite import IcebergLiteTable
+
+        IcebergLiteTable(spark, snapshot_root).commit(merged, "overwrite")
+    return merged

@@ -56,6 +56,13 @@ def get_spark(
             os.environ.get("KARGO_ADVISORY_PARTITION", "64m"),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # allow co-partitioning on a SUBSET of the join keys: the graph
+        # store buckets triples on (subj, obj) so the incremental merge
+        # join on (subj, pred, obj) reuses the layout even when the
+        # optimizer constant-folds a literal pred out of the join keys
+        # (probed r05 — with the default 'true' the bucketed scan is
+        # "disabled by query planner" and the whole store re-shuffles)
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
         .config("spark.ui.enabled", "false")

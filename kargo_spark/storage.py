@@ -121,18 +121,77 @@ def write_graph_bucketed(
     spark: SparkSession,
     triples: DataFrame,
     prefix: str = "kargo_graph",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
+    two_hop_ready: bool = False,
+    max_mid_degree: int | None = None,
 ) -> tuple[str, str]:
     """Materialize the triple store as bucketed graph tables:
-    edges bucketed by src (2-hop probes, out-neighborhood scans) and
-    nodes bucketed by node_id (entity-linking lookups). Returns the two
-    table names. Downstream ``edges JOIN nodes ON src = node_id`` and
-    edge-edge 2-hop self-joins run without re-shuffling the big side.
+    edges bucketed by src (out-neighborhood scans), nodes bucketed by
+    node_id (entity-linking lookups), and the raw triples bucketed by
+    (subj, obj) + sorted by the full key — the layout
+    ``graph_store.merge_into_graph_store`` upserts against with only the
+    NEW batch shuffling (the store side scans bucketed). (subj, obj)
+    rather than the full triple key deliberately: a subset of the merge
+    keys still co-partitions the join (requireAllClusterKeysForCoPartition
+    = false, set in session.get_spark), and it survives the optimizer
+    constant-folding a literal pred (the unclustered 'cooccurs_with'
+    path) out of the join keys — full-key bucketing silently loses the
+    layout there (probed r05). With ``two_hop_ready`` the two hop orientations are also
+    persisted bucketed+sorted on the middle key, so
+    ``graph_store.two_hop_from_store`` joins them with ZERO Exchange.
+    Returns (nodes_tbl, edges_tbl).
+
+    ``n_buckets`` defaults to the session's spark.sql.shuffle.partitions:
+    a bucketed scan is only preserved (not "disabled by query planner")
+    when the other join side can be shuffled to EXACTLY the bucket
+    count, and Spark picks the shuffle-partition number for that side —
+    mismatched counts silently forfeit the layout (probed r05).
+
+    ``max_mid_degree`` applies ``two_hop``'s hub guard at WRITE time (the
+    right place at scale: hot middles are excluded once, not per query).
     """
     from .graph_store import graph_tables
 
-    nodes, edges = graph_tables(triples)
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # write the triples table FIRST, then derive every other table from
+    # its persisted bucketed scan: the input DAG (which may be the whole
+    # docs->triples chain, or an incremental merge join) executes exactly
+    # once instead of once per derived table. The store schema is the
+    # canonical merge key + support; provenance (a bounded array the
+    # checkpointed triples stage keeps) is not part of the upsert
+    # contract (merge_triples sums support, it cannot merge arrays).
+    write_bucketed(
+        triples.select("subj", "pred", "obj", "support"),
+        f"{prefix}_triples",
+        ["subj", "obj"],
+        n_buckets,
+        sort_cols=["subj", "pred", "obj"],
+    )
+    persisted = spark.table(f"{prefix}_triples")
+    nodes, edges = graph_tables(persisted)
     nodes_tbl, edges_tbl = f"{prefix}_nodes", f"{prefix}_edges"
     write_bucketed(nodes, nodes_tbl, ["node_id"], n_buckets)
     write_bucketed(edges, edges_tbl, ["src"], n_buckets)
+    if two_hop_ready:
+        from pyspark.sql import functions as F
+
+        hop = persisted.groupBy("subj", "obj").agg(F.sum("support").alias("support"))
+        t1 = hop.select(
+            F.col("subj").alias("src"), F.col("obj").alias("mid"),
+            F.col("support").alias("s1"),
+        )
+        t2 = hop.select(
+            F.col("subj").alias("mid"), F.col("obj").alias("dst"),
+            F.col("support").alias("s2"),
+        )
+        if max_mid_degree is not None:
+            hot = (
+                t2.groupBy("mid").agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") > max_mid_degree)
+            )
+            t1 = t1.join(hot, "mid", "left_anti")
+            t2 = t2.join(hot, "mid", "left_anti")
+        write_bucketed(t1, f"{prefix}_hop_t1", ["mid"], n_buckets)
+        write_bucketed(t2, f"{prefix}_hop_t2", ["mid"], n_buckets)
     return nodes_tbl, edges_tbl

@@ -49,6 +49,10 @@ def test_write_graph_bucketed_roundtrip(spark):
         assert storage.bucketed_join_is_shuffle_free(
             spark, edges_tbl, edges_tbl, ["src"]
         )
+        # the raw triples are persisted bucketed on the full key too (the
+        # merge substrate)
+        assert storage.read_table(spark, "t_kg_triples").count() == 3
     finally:
         spark.sql("DROP TABLE IF EXISTS t_kg_nodes")
         spark.sql("DROP TABLE IF EXISTS t_kg_edges")
+        spark.sql("DROP TABLE IF EXISTS t_kg_triples")
