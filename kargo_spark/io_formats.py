@@ -28,8 +28,16 @@ __all__ = [
 
 def read_terms_csv(spark, path: str) -> DataFrame:
     """Inverse of terms_csv_shape (terms.py:83-90): split + posexplode keeps
-    rank explicit (rank is 1-based like get_n_best output order)."""
-    raw = spark.read.csv(path, header=True)
+    rank explicit (rank is 1-based like get_n_best output order).
+
+    escape='"' because the reference writes RFC-4180 CSVs (pandas
+    to_csv: embedded quotes doubled). Spark's csv default escape is the
+    backslash, which leaves a quoted field's opening quote glued to the
+    first term and the doubled quotes un-collapsed — caught by the
+    test-split triple gate (doc 8e59bc: '"system level data' failed its
+    span match, silently dropping a labeled pair; r05).
+    """
+    raw = spark.read.option("escape", '"').csv(path, header=True)
     return raw.select(
         F.col("document_id").alias("doc_id"),
         F.posexplode(F.split("terms", r"\|")).alias("rank0", "term"),

@@ -145,12 +145,13 @@ DEV_TERMS = f"{REF}/data/processed/news/relevant/dev_terms.csv"
 DEV_REL_JSONL = f"{REF}/data/annotations/relations/dev_20200612.jsonl"
 
 
-def _gold_pairs():
-    """The reference's emitted candidate pairs on its dev corpus: every row
-    of dev_20200612.jsonl is one extraction (text = before__head__between__
-    tail__after, meta = doc/sent/cooc ids) — 1,305 pairs over 53 docs."""
+def _gold_pairs(jsonl_path: str = DEV_REL_JSONL):
+    """The reference's emitted candidate pairs on a split corpus: every row
+    of {split}_20200612.jsonl is one extraction (text = before__head__between__
+    tail__after, meta = doc/sent/cooc ids) — 1,305 pairs over 53 dev docs,
+    1,278 over the test docs."""
     rows = []
-    for line in open(DEV_REL_JSONL):
+    for line in open(jsonl_path):
         r = json.loads(line)
         p = r["text"].split("__")
         rows.append(
@@ -206,6 +207,43 @@ def test_triple_gate_pair_extraction_exact(spark):
     assert len(gold) == 1305
     assert precision >= 0.95 and recall >= 0.95
     assert precision == 1.0 and recall == 1.0  # exact parity, not just the gate
+
+
+def test_triple_gate_pair_extraction_exact_test_split(spark):
+    """The same north-star gate on the HELD-OUT test split (r04 verdict
+    next-step #4): 1,278 labeled pairs over the test corpus.
+
+    Reference data quirk, verified by inspection: the test labels cover 53
+    docs but the shipped test corpus (test/ dir AND test.xml) has 52 — doc
+    40aca4's test-label pairs were produced from a DIFFERENT revision of
+    that article than the 40aca4.xml shipped under dev/ (different
+    sentence segmentation, 'optimised' vs 'optimized', reworded lead), so
+    those 23 pairs are not reproducible from any shipped input. The
+    BASELINE gate (>= 0.95) clears on the FULL 1,278 gold anyway; on the
+    52 reproducible docs the engine is exact (P = R = 1.0), same as dev."""
+    from kargo_spark.relations import reference_pairs
+    from kargo_spark.xml_io import read_corenlp_tokens
+
+    toks = read_corenlp_tokens(
+        spark, f"{REF}/data/processed/news/relevant/test/*.xml"
+    )
+    terms = read_terms_csv(
+        spark, f"{REF}/data/processed/news/relevant/test_terms.csv"
+    )
+    mine = {tuple(r) for r in reference_pairs(toks, terms).collect()}
+    gold = set(
+        _gold_pairs(f"{REF}/data/annotations/relations/test_20200612.jsonl")
+    )
+    assert len(gold) == 1278
+    tp = len(mine & gold)
+    assert tp / len(mine) >= 0.95 and tp / len(gold) >= 0.95  # the gate
+    # exactness on the reproducible subset + the quirk pinned precisely:
+    # every miss is the one unshipped doc revision, nothing else
+    present_docs = {r["doc_id"] for r in toks.select("doc_id").distinct().collect()}
+    assert len(present_docs) == 52 and "40aca4" not in present_docs
+    gold_present = {g for g in gold if g[0] in present_docs}
+    assert mine == gold_present  # P = R = 1.0 on all shipped test docs
+    assert {g[0] for g in gold - gold_present} == {"40aca4"}
 
 
 def test_triple_gate_triples_vs_reference(spark):
