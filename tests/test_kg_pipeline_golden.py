@@ -30,6 +30,27 @@ def test_golden_file_unchanged():
     )
 
 
+LDA_GOLDEN = Path(__file__).parent / "golden" / "lda_topics_sf0001.tsv"
+LDA_GOLDEN_SHA = "5dacb7a53f85ea14197f6792330864a16ec6119ee931fea59c6efd4e4bffc987"
+
+
+def test_lda_golden_file_unchanged():
+    blob = LDA_GOLDEN.read_bytes()
+    assert hashlib.sha256(blob).hexdigest() == LDA_GOLDEN_SHA
+
+
+def test_lda_topics_matches_golden(spark):
+    """lda_topics is the one driver query that stays rows-only (seeded ML,
+    no SQL oracle); this sf0.001 row-for-row pin (r04 verdict next-step #7)
+    makes semantic drift fail loudly anyway. Assignment verified stable
+    across sessions AND parallelism levels (local[4]/sp=8 vs local[8]/sp=32)
+    before pinning."""
+    df = entrymod.queries()["lda_topics"](spark, SF)
+    got = sorted("\t".join(str(c) for c in r) for r in df.collect())
+    want = LDA_GOLDEN.read_text().splitlines()
+    assert got == want
+
+
 def test_kg_pipeline_matches_golden(spark):
     df = entrymod.queries()["kg_pipeline_triples"](spark, SF)
     got = sorted("\t".join(str(c) for c in r) for r in df.collect())
