@@ -1158,7 +1158,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: documents sharing any word 4-gram with
     the held-out 'benchmark' slice (doc_id % 17 == 0) are flagged with
     overlap counts. Inverted-index + broadcast join — the n-gram-overlap
-    rule big-LM training pipelines run before training."""
+    rule big-LM training pipelines run before training. hashed=True (the
+    documented 100-TB configuration): join keys are 64-bit token-gram
+    hashes built without materializing shingle strings; n_hits/n_bench
+    counts equal the oracle's string-gram counts modulo ~2^-64 collisions."""
     from kargo_spark.dedup import contamination_flags
 
     d = _docs(spark, sf_dir)
@@ -1166,7 +1169,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"), "text"
     )
     corpus = d.filter(F.col("doc_id") % 17 != 0)
-    return contamination_flags(corpus, bench, n=4)
+    return contamination_flags(corpus, bench, n=4, hashed=True)
 
 
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

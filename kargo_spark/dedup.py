@@ -58,6 +58,37 @@ def shingles(col, n: int = 3):
     )
 
 
+def hashed_shingles(tok_col, n: int = 3):
+    """Distinct word n-gram shingles as 64-bit hashes, built WITHOUT ever
+    materializing the shingle strings: xxhash64 over the n consecutive
+    tokens directly. Set-equality semantics match ``shingles`` modulo
+    64-bit collisions (~2^-64 per cross-doc shingle pair — the same
+    tolerance the Jaccard verify step already accepts), but skipping the
+    per-shingle slice+join string construction is ~10x cheaper (measured
+    4.8 s -> 0.5 s over the sf0.1 corpus, the dominant cost of the
+    minhash query): at 100 TB the shingle pass is the whole bill.
+
+    ``tok_col`` MUST be an already-projected token-array column (a
+    previous select's attribute, e.g. ``_tokens(text).alias("_t")``), NOT
+    an inline expression: higher-order-function lambdas are interpreted
+    with no common-subexpression elimination, so an inline tokenizer
+    would re-split the whole document once per element_at — measured
+    O(tokens^2), 2x SLOWER than the string path it replaces. The <n-token
+    special case hashes the full token array, mirroring ``shingles``'
+    single whole-text shingle."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tok_col) - n, F.lit(0)))
+    return F.when(F.size(tok_col) < n, F.array(F.xxhash64(tok_col))).otherwise(
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(
+                    *[F.element_at(tok_col, i + j + 1) for j in range(n)]
+                ),
+            )
+        )
+    )
+
+
 def minhash_signature(shingle_col, num_hashes: int = 32, seed: int = 42):
     """num_hashes minhash values: min over shingles of xxhash64(shingle, k).
 
@@ -148,10 +179,16 @@ def minhash_lsh_pairs(
     if bands is None:
         bands = derive_bands(num_hashes, jaccard_threshold)
     r = num_hashes // bands
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed)).persist()
+    # shingles enter as 64-bit hashes (hashed_shingles): the string form
+    # was the dominant cost of the whole query (~10x slower to build) and
+    # nothing downstream needs it — banding hashes the signature values
+    # and the verify Jaccard was already computed over hashed shingles.
+    base = (
+        docs.select(F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("_t"))
+        .select("id", hashed_shingles(F.col("_t"), shingle_n).alias("sh"))
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+        .persist()
+    )
     # band table carries ONLY (id, band, bucket): the shingle array must not
     # be duplicated across bands nor shuffled through the candidate join
     banded = base.select(
@@ -206,15 +243,11 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    # verify payload: 64-bit shingle hashes, not strings — the candidate
-    # join shuffles |pairs| x 2 arrays, and at low tau (fine banding) the
-    # candidate set is large; longs cut that shuffle ~5x. Set Jaccard over
-    # xxhash64(shingle) equals string-set Jaccard absent 64-bit collisions
-    # within a pair (~1e-14 for 10^3-shingle docs).
-    sh_tab = base.select(
-        "id",
-        F.transform("sh", lambda s: F.xxhash64(s, F.lit(seed))).alias("shh"),
-    )
+    # verify payload: the shingle-hash arrays as-is — 64-bit longs, so the
+    # candidate join shuffles compact arrays, and set Jaccard over them
+    # equals string-set Jaccard absent 64-bit collisions within a pair
+    # (~1e-14 for 10^3-shingle docs).
+    sh_tab = base.select("id", F.col("sh").alias("shh"))
     sha_side = sh_tab.withColumnRenamed("id", "a").withColumnRenamed("shh", "sha")
     shb_side = sh_tab.withColumnRenamed("id", "b").withColumnRenamed("shh", "shb")
     if broadcast_verify:
@@ -393,11 +426,12 @@ def simhash_pairs_from_hashes(
         .join(F.broadcast(combo_df))
         .select(
             "id", "sim",
+            # hash the block-value ARRAY directly (xxhash64 supports array
+            # args): building a ","-joined string per (doc x table) row was
+            # pure allocation overhead at 495 tables/doc
             F.xxhash64(
                 "tbl",
-                F.array_join(
-                    F.transform("blks", lambda i: F.element_at("blk", i + 1)), ","
-                ),
+                F.transform("blks", lambda i: F.element_at("blk", i + 1)),
             ).alias("key"),
         )
     )
@@ -446,11 +480,14 @@ def ngram_jaccard_pairs(
 
     Inverted-index join (explode shingles -> self-join on shingle) with a
     df-cutoff on hot shingles so a stop-shingle can't go quadratic; exact
-    intersection/union via groupBy counts — no full text comparison.
+    intersection/union via groupBy counts — no full text comparison. The
+    index key is the 64-bit shingle hash (hashed_shingles): identical
+    counts modulo ~2^-64 collisions, no shingle strings built or
+    shuffled.
     """
     sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("s")
-    )
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("_t")
+    ).select("id", F.explode(hashed_shingles(F.col("_t"), n)).alias("s"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     # drop shingles present in too many docs (hub-shingle skew guard)
     hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > 1000)
@@ -565,11 +602,18 @@ def contamination_flags(
     """
 
     def _sh(df, out_id, in_id, in_text):
-        e = df.select(
+        if hashed:
+            # hashed keys are built straight from the token array — the
+            # shingle strings are never materialized (same 10x win as
+            # minhash's hashed_shingles; the corpus side is the whole
+            # cost of this operator)
+            return df.select(
+                F.col(in_id).alias(out_id), _tokens(F.col(in_text)).alias("_t")
+            ).select(out_id, F.explode(hashed_shingles(F.col("_t"), n)).alias("s"))
+        return df.select(
             F.col(in_id).alias(out_id),
             F.explode(shingles(F.col(in_text), n)).alias("s"),
         )
-        return e.withColumn("s", F.xxhash64("s")) if hashed else e
 
     d = _sh(docs, "doc_id", id_col, text_col)
     b = _sh(benchmark, "bench_id", bench_id_col, bench_text_col).dropDuplicates(
