@@ -1424,14 +1424,36 @@ def q_textstats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tc.unionByName(fp).unionByName(lq)
 
 
+def q_graph_2hop_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline-substrate path (r04 verdict next-step #2, driver-visible):
+    storage.write_graph_bucketed persists the triple store with
+    two_hop_ready hop tables (hub guard applied at WRITE time), then
+    graph_store.two_hop_from_store serves the query off the persisted
+    tables — RAISING if the hop join plans any Exchange beyond the final
+    aggregation. Same oracle rows as the plain/bucketed parts."""
+    from kargo_spark.graph_store import two_hop_from_store
+    from kargo_spark.storage import write_graph_bucketed
+
+    write_graph_bucketed(
+        spark, _sparse_bigram_triples(spark, sf_dir),
+        prefix="kargo_store_drv", two_hop_ready=True, max_mid_degree=6,
+    )
+    return two_hop_from_store(spark, "kargo_store_drv")
+
+
 def q_graph_2hop_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """graph_2hop (plain) + graph_2hop_bucketed as one suite: both parts
-    must hash-match the SAME oracle rows, which certifies plain/bucketed
-    value parity inside the driver gate itself. The bucketed part still
-    RAISES if its composed plan shuffles the join."""
+    """graph_2hop (plain) + graph_2hop_bucketed + the persisted-store
+    serving path as one suite: all three parts must hash-match the SAME
+    oracle rows, which certifies plain/bucketed/stored value parity
+    inside the driver gate itself. The bucketed and stored parts still
+    RAISE if their plans shuffle the join."""
     p = q_graph_2hop(spark, sf_dir).withColumn("part", F.lit("plain"))
     b = q_graph_2hop_bucketed(spark, sf_dir).withColumn("part", F.lit("bucketed"))
-    return p.unionByName(b).select("part", "src", "dst", "n_paths", "path_support")
+    s = q_graph_2hop_stored(spark, sf_dir).withColumn("part", F.lit("stored"))
+    return (
+        p.unionByName(b).unionByName(s)
+        .select("part", "src", "dst", "n_paths", "path_support")
+    )
 
 
 def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3175,13 +3197,16 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'lang_quality', doc_id, 'quality', '', quality FROM lq
         UNION ALL SELECT 'lang_quality', doc_id, 'lang_pred', lang_pred, 0.0::DOUBLE FROM lq
     """
-    # both parts of the 2-hop suite must equal the SAME oracle rows —
-    # plain/bucketed value parity is certified by the driver gate itself
+    # all three parts of the 2-hop suite must equal the SAME oracle rows —
+    # plain/bucketed/persisted-store value parity is certified by the
+    # driver gate itself
     g2 = out.pop("graph_2hop")
     out["graph_2hop_suite"] = f"""
         SELECT 'plain' AS part, * FROM ({g2})
         UNION ALL
         SELECT 'bucketed' AS part, * FROM ({g2})
+        UNION ALL
+        SELECT 'stored' AS part, * FROM ({g2})
     """
     out["ann_suite"] = f"""
         SELECT 'lsh' AS part, * FROM ({out.pop("ann_lsh")})
