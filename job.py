@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--use-snapshots", action="store_true",
                     help="stage checkpoints as Iceberg-lite snapshot tables")
     ap.add_argument("--graph-root", help="materialize node/edge graph tables here")
+    ap.add_argument("--graph-prefix",
+                    help="publish the bucketed graph substrate (triples/nodes/"
+                         "edges/hop tables) under this catalog prefix; later "
+                         "ingests fold in via pipeline.ingest_increment")
     args = ap.parse_args()
 
     from kargo_spark.pipeline import run_pipeline
@@ -57,6 +61,7 @@ def main() -> None:
         scalable_clustering=args.scalable_clustering,
         resume=not args.no_resume,
         use_snapshots=args.use_snapshots,
+        graph_prefix=args.graph_prefix,
     )
     metrics = [r.asDict() for r in out["metrics"].collect()]
     result = {"stages": metrics, "triples": out["triples"].count()}
