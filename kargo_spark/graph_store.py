@@ -296,13 +296,15 @@ def merge_into_graph_store(
     # swap: staging tables exist and are complete; now atomically (per
     # table) retire the old generation. Catalog rename moves the managed
     # location with it (probed r05: bucketing spec survives the rename).
-    suffixes = ["_nodes", "_edges", "_triples"]
-    if write_kwargs.get("two_hop_ready"):
-        suffixes += ["_hop_t1", "_hop_t2"]
-    for suf in suffixes:
+    for suf in ["_nodes", "_edges", "_triples", "_hop_t1", "_hop_t2"]:
+        has_stage = spark.catalog.tableExists(f"{stage}{suf}")
         spark.sql(f"DROP TABLE IF EXISTS {prefix}{suf}")
         _sweep_dangling_location(spark, f"{prefix}{suf}")
-        spark.sql(f"ALTER TABLE {stage}{suf} RENAME TO {prefix}{suf}")
+        if has_stage:
+            spark.sql(f"ALTER TABLE {stage}{suf} RENAME TO {prefix}{suf}")
+        # else: the new generation has no such table — the stale one from
+        # the previous generation is dropped rather than left serving the
+        # OLD graph (a merge without two_hop_ready retires the hop tables)
     return spark.table(store_tbl)
 
 

@@ -130,6 +130,23 @@ def test_merge_crash_before_swap_leaves_store_intact(spark, store, monkeypatch):
     assert merged.count() >= len(before)
 
 
+def test_merge_without_two_hop_ready_retires_stale_hop_tables(spark, store):
+    """A merge that does not refresh the hop tables must DROP the old
+    generation's, not leave them silently serving the pre-merge graph."""
+    assert spark.catalog.tableExists(f"{PREFIX}_hop_t1")
+    docs2 = synth_documents(spark, n_rows=30, seed=5, distinct_paths=True)
+    from kargo_spark.pipeline import triples_chain
+
+    t2, cached = triples_chain(docs2)
+    merge_into_graph_store(spark, t2.select("subj", "pred", "obj", "support"),
+                           prefix=PREFIX)
+    for df in cached:
+        df.unpersist()
+    assert not spark.catalog.tableExists(f"{PREFIX}_hop_t1")
+    assert not spark.catalog.tableExists(f"{PREFIX}_hop_t2")
+    assert spark.catalog.tableExists(f"{PREFIX}_triples")
+
+
 def test_merge_raises_when_layout_not_engaged(spark, store):
     """assert_store_side_local is a real tripwire: break the bucket-count
     == shuffle-partitions precondition and the merge must refuse."""
