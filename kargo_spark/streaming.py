@@ -199,3 +199,90 @@ def streaming_triples(docs_stream: DataFrame, table_root: str, checkpoint_dir: s
         .queryName("streaming_triples")
         .start()
     )
+
+
+def streaming_graph_ingest(
+    docs_stream: DataFrame,
+    graph_prefix: str,
+    ledger_root: str,
+    checkpoint_dir: str,
+    ranker: str = "tfidf",
+    n_terms: int = 15,
+):
+    """Continuous ingest INTO the bucketed graph store: each micro-batch
+    of documents runs the docs→triples chain, commits the batch triples
+    to an Iceberg-lite LEDGER table (atomic snapshot, exactly-once via
+    the (checkpoint, batch_id) summary tag — same device as
+    ``streaming_triples``), then refreshes the serving substrate
+    (``{graph_prefix}_*`` bucketed tables).
+
+    Correctness split, because the catalog-table swap is per-table
+    atomic but not cross-table: the LEDGER is authoritative (its commit
+    is all-or-nothing), the serving tables are a derived cache. Steady
+    state refreshes incrementally — ``merge_into_graph_store`` reads
+    ONLY the just-committed snapshot's added files, so the big store
+    side never re-shuffles. On ANY replay ambiguity (batch id already in
+    the ledger: the previous attempt may have died before, during, or
+    after the serving swap) the refresh falls back to a full REBUILD
+    from the ledger — idempotent, correct from any torn state, and rare
+    (only after a crash-replay). First batch bootstraps the store the
+    same rebuild way.
+    """
+    from .graph_store import merge_into_graph_store
+    from .iceberg_lite import IcebergLiteTable
+    from .pipeline import triples_chain
+    from .storage import write_graph_bucketed
+
+    def _rebuild(spark, tbl) -> None:
+        merged = (
+            tbl.read()
+            .groupBy("subj", "pred", "obj")
+            .agg(F.sum("support").alias("support"))
+        )
+        write_graph_bucketed(spark, merged, prefix=graph_prefix, two_hop_ready=True)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tbl = IcebergLiteTable(spark, ledger_root)
+        committed = {
+            (s["summary"].get("streaming_checkpoint"), s["summary"].get("streaming_batch_id"))
+            for s in tbl.snapshots()
+        }
+        if (checkpoint_dir, batch_id) in committed:
+            # replay after a crash: the ledger has the batch, but the
+            # serving swap may be torn at any point — rebuild
+            _rebuild(spark, tbl)
+            return
+        triples, cached = triples_chain(batch_df, ranker=ranker, n_terms=n_terms)
+        try:
+            sid = tbl.commit(
+                triples.select("subj", "pred", "obj", "support"),
+                operation="append" if tbl.exists() else "overwrite",
+                summary_extra={
+                    "streaming_batch_id": batch_id,
+                    "streaming_checkpoint": checkpoint_dir,
+                },
+            )
+        finally:
+            for df in cached:
+                df.unpersist()
+        if not spark.catalog.tableExists(f"{graph_prefix}_triples"):
+            _rebuild(spark, tbl)  # bootstrap
+            return
+        # incremental: the batch, read back from the snapshot it is now
+        # durable in (added files only — parent dirs excluded)
+        snap = tbl._snapshot(sid)
+        parent = snap["parent_snapshot_id"]
+        parent_dirs = set(tbl._snapshot(parent)["data_dirs"]) if parent else set()
+        added = [d for d in snap["data_dirs"] if d not in parent_dirs]
+        merge_into_graph_store(
+            spark, tbl._scan(added), prefix=graph_prefix, two_hop_ready=True
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .queryName("streaming_graph_ingest")
+        .start()
+    )

@@ -204,3 +204,99 @@ def test_quality_filter_and_domain_mix_are_stream_safe(spark, tmp_path):
     a = sorted(tuple(r) for r in got.collect())
     b = sorted(tuple(r) for r in want.collect())
     assert a == b and len(a) > 0
+
+
+def test_streaming_graph_ingest_builds_and_merges_store(spark, tmp_path):
+    """Micro-batches fold into the bucketed graph substrate: batch 0
+    bootstraps, later batches merge incrementally (only the batch's
+    just-committed ledger files are read back), the serving tables always
+    equal the ledger aggregate, and a crash-replay (fresh stream
+    checkpoint, same ledger) rebuilds from the ledger — including from a
+    torn serving state."""
+    from kargo_spark.graph_store import two_hop, two_hop_from_store
+    from kargo_spark.iceberg_lite import IcebergLiteTable
+
+    PREFIX = "t_sgi"
+    for suf in ("_triples", "_nodes", "_edges", "_hop_t1", "_hop_t2"):
+        spark.sql(f"DROP TABLE IF EXISTS {PREFIX}{suf}")
+        spark.sql(f"DROP TABLE IF EXISTS {PREFIX}__stage{suf}")
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    docs = synth_documents(spark, n_rows=60, distinct_paths=True)
+    schema = docs.schema
+    docs.limit(30).coalesce(1).write.mode("overwrite").parquet(str(src / "f0"))
+    docs.subtract(docs.limit(30)).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "f1")
+    )
+    ledger_root = str(tmp_path / "ledger")
+
+    def _stream():
+        return (
+            spark.readStream.format("parquet").schema(schema)
+            .option("maxFilesPerTrigger", 1).load(str(src) + "/*")
+        )
+
+    q = S.streaming_graph_ingest(_stream(), PREFIX, ledger_root, str(tmp_path / "ck1"))
+    q.awaitTermination(180)
+
+    tbl = IcebergLiteTable(spark, ledger_root)
+    assert len(tbl.snapshots()) >= 2  # one ledger snapshot per batch
+    expect = sorted(
+        map(tuple,
+            tbl.read().groupBy("subj", "pred", "obj")
+            .agg(F.sum("support").alias("support")).collect())
+    )
+    got = sorted(map(tuple, spark.table(f"{PREFIX}_triples").collect()))
+    assert got == expect and len(got) > 0
+    # the substrate serves 2-hop shuffle-free over the merged graph
+    served = sorted(map(tuple, two_hop_from_store(spark, PREFIX).collect()))
+    assert served == sorted(
+        map(tuple, two_hop(spark.table(f"{PREFIX}_triples")).collect())
+    )
+
+    # same-checkpoint restart: stream checkpoint acked everything -> no
+    # batches re-fire, ledger and store untouched
+    n_snaps = len(tbl.snapshots())
+    q2 = S.streaming_graph_ingest(
+        _stream(), PREFIX, ledger_root, str(tmp_path / "ck1")
+    )
+    q2.awaitTermination(180)
+    assert len(IcebergLiteTable(spark, ledger_root).snapshots()) == n_snaps
+    assert sorted(map(tuple, spark.table(f"{PREFIX}_triples").collect())) == expect
+
+    # TRUE crash replay: the ledger committed batch 0 but the app died
+    # before the serving refresh AND before the stream-checkpoint ack
+    # (simulated: plant the (ck3, batch 0) ledger entry on a fresh
+    # ledger, no serving store at all). The re-delivered batch 0 must be
+    # skipped ledger-side and trigger the rebuild; batch 1 then merges
+    # incrementally on top.
+    from kargo_spark.pipeline import triples_chain
+
+    for suf in ("_triples", "_nodes", "_edges", "_hop_t1", "_hop_t2"):
+        spark.sql(f"DROP TABLE IF EXISTS {PREFIX}{suf}")
+        spark.sql(f"DROP TABLE IF EXISTS {PREFIX}__stage{suf}")
+    ledger2 = str(tmp_path / "ledger2")
+    t0, cached = triples_chain(spark.read.parquet(str(src / "f0")))
+    ck3 = str(tmp_path / "ck3")
+    IcebergLiteTable(spark, ledger2).commit(
+        t0.select("subj", "pred", "obj", "support"),
+        operation="overwrite",
+        summary_extra={"streaming_batch_id": 0, "streaming_checkpoint": ck3},
+    )
+    for df in cached:
+        df.unpersist()
+    q3 = S.streaming_graph_ingest(_stream(), PREFIX, ledger2, ck3)
+    q3.awaitTermination(180)
+    tbl2 = IcebergLiteTable(spark, ledger2)
+    ids = [s["summary"]["streaming_batch_id"] for s in tbl2.snapshots()]
+    assert sorted(ids) == [0, 1]  # batch 0 deduped, batch 1 appended
+    expect2 = sorted(
+        map(tuple,
+            tbl2.read().groupBy("subj", "pred", "obj")
+            .agg(F.sum("support").alias("support")).collect())
+    )
+    assert sorted(map(tuple, spark.table(f"{PREFIX}_triples").collect())) == expect2
+    assert spark.catalog.tableExists(f"{PREFIX}_hop_t1")  # rebuilt + refreshed
+    for suf in ("_triples", "_nodes", "_edges", "_hop_t1", "_hop_t2"):
+        spark.sql(f"DROP TABLE IF EXISTS {PREFIX}{suf}")
+        spark.sql(f"DROP TABLE IF EXISTS {PREFIX}__stage{suf}")
