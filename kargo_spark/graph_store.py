@@ -186,6 +186,42 @@ def two_hop_bucketed(
     return result
 
 
+def k_hop_from_store(
+    spark, prefix: str = "kargo_graph", k: int = 3,
+    assert_edges_local: bool = True,
+) -> DataFrame:
+    """``k_hop_reach`` over the PERSISTED bucketed edge table
+    (``{prefix}_edges``, bucketed on src by write_graph_bucketed): every
+    BFS round joins the frontier against the edge scan IN PLACE — the
+    frontier (small, shrinking) re-shuffles per round, the edge table
+    (the 10^12-row side) never does. Subset partitioning makes even the
+    initial ``distinct`` reuse the bucket layout (probed r05: zero
+    Exchange on the edge scans). ``assert_edges_local`` raises if the
+    first-round plan shows an Exchange above an edge-table scan."""
+    edges = spark.table(f"{prefix}_edges")
+    if assert_edges_local:
+        probe = edges.select("src", "dst").distinct()
+        e_step = probe.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+        frontier = probe.select(F.col("src").alias("start"), F.col("dst").alias("node"))
+        lines = (
+            frontier.join(e_step, frontier["node"] == e_step["e_src"])
+            ._jdf.queryExecution().executedPlan().toString().splitlines()
+        )
+        scan_idx = [
+            i for i, ln in enumerate(lines)
+            if "FileScan parquet" in ln and f"{prefix}_edges".lower() in ln.lower()
+        ]
+        if not scan_idx or any(
+            "Bucketed: true" not in lines[i] or (i > 0 and "Exchange" in lines[i - 1])
+            for i in scan_idx
+        ):
+            raise AssertionError(
+                "k-hop edge scan is not bucketed-local — layout not engaged:\n"
+                + "\n".join(lines)
+            )
+    return k_hop_reach(edges, k=k)
+
+
 def two_hop_from_store(
     spark, prefix: str = "kargo_graph", assert_shuffle_free: bool = True
 ) -> DataFrame:

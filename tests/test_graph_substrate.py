@@ -63,6 +63,15 @@ def test_pipeline_publishes_bucketed_graph_and_serves_two_hop(spark, store):
     assert served.count() > 0, "synth batch produced no 2-hop paths"
 
 
+def test_k_hop_from_store_matches_plain_and_stays_local(spark, store):
+    from kargo_spark.graph_store import k_hop_from_store, k_hop_reach
+
+    served = k_hop_from_store(spark, PREFIX, k=3)  # asserts edge scan local
+    plain = k_hop_reach(spark.table(f"{PREFIX}_edges"), k=3)
+    assert _rows(served) == _rows(plain)
+    assert served.count() > 0
+
+
 def test_incremental_ingest_parity_and_snapshots(spark, store, tmp_path):
     triples1 = store["triples"].select("subj", "pred", "obj", "support")
     docs2 = synth_documents(spark, n_rows=40, seed=99, distinct_paths=True)
