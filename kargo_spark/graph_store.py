@@ -281,6 +281,16 @@ def merge_into_graph_store(
 
     ``write_kwargs`` pass through to ``storage.write_graph_bucketed``
     (``two_hop_ready``, ``max_mid_degree``, ``n_buckets``).
+
+    Cost model per ingest: the triples MERGE is O(batch) shuffle + an
+    in-place store scan; the derived node/edge/hop tables are then
+    re-aggregated from the persisted merged scan — one bucketed scan +
+    one shuffle each, O(store) but embarrassingly parallel, no join. A
+    fully incremental derived refresh (degree deltas only for first-seen
+    triple keys) is possible since every column is a sum/count, but
+    needs new-key lineage out of the merge join; the simple recompute is
+    the deliberate trade until a profile shows the derived pass, not the
+    merge, dominating.
     """
     from .storage import write_graph_bucketed
 
