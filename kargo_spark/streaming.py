@@ -208,6 +208,7 @@ def streaming_graph_ingest(
     checkpoint_dir: str,
     ranker: str = "tfidf",
     n_terms: int = 15,
+    refresh_every: int = 1,
 ):
     """Continuous ingest INTO the bucketed graph store: each micro-batch
     of documents runs the docs→triples chain, commits the batch triples
@@ -227,19 +228,19 @@ def streaming_graph_ingest(
     from the ledger — idempotent, correct from any torn state, and rare
     (only after a crash-replay). First batch bootstraps the store the
     same rebuild way.
+
+    ``refresh_every=K`` amortizes copy-on-write amplification (every
+    serving refresh rewrites the store generation — inherent to
+    copy-on-write with hash-bucketed keys, where any batch touches all
+    buckets): the ledger still commits EVERY batch exactly-once, but the
+    serving tables refresh only on every K-th ledger snapshot, merging
+    the accumulated K batches' files in one pass — LSM-style compaction
+    cadence. Between refreshes the serving store lags the ledger by at
+    most K-1 batches (call ``refresh_graph_serving`` to force a sync,
+    e.g. after an availableNow drain).
     """
-    from .graph_store import merge_into_graph_store
     from .iceberg_lite import IcebergLiteTable
     from .pipeline import triples_chain
-    from .storage import write_graph_bucketed
-
-    def _rebuild(spark, tbl) -> None:
-        merged = (
-            tbl.read()
-            .groupBy("subj", "pred", "obj")
-            .agg(F.sum("support").alias("support"))
-        )
-        write_graph_bucketed(spark, merged, prefix=graph_prefix, two_hop_ready=True)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -250,12 +251,14 @@ def streaming_graph_ingest(
         }
         if (checkpoint_dir, batch_id) in committed:
             # replay after a crash: the ledger has the batch, but the
-            # serving swap may be torn at any point — rebuild
-            _rebuild(spark, tbl)
+            # serving swap may be torn at any point — rebuild. Every
+            # crash funnels through here (the stream never acked the
+            # batch), so the coverage marker is always repaired.
+            refresh_graph_serving(spark, graph_prefix, ledger_root)
             return
         triples, cached = triples_chain(batch_df, ranker=ranker, n_terms=n_terms)
         try:
-            sid = tbl.commit(
+            tbl.commit(
                 triples.select("subj", "pred", "obj", "support"),
                 operation="append" if tbl.exists() else "overwrite",
                 summary_extra={
@@ -266,18 +269,7 @@ def streaming_graph_ingest(
         finally:
             for df in cached:
                 df.unpersist()
-        if not spark.catalog.tableExists(f"{graph_prefix}_triples"):
-            _rebuild(spark, tbl)  # bootstrap
-            return
-        # incremental: the batch, read back from the snapshot it is now
-        # durable in (added files only — parent dirs excluded)
-        snap = tbl._snapshot(sid)
-        parent = snap["parent_snapshot_id"]
-        parent_dirs = set(tbl._snapshot(parent)["data_dirs"]) if parent else set()
-        added = [d for d in snap["data_dirs"] if d not in parent_dirs]
-        merge_into_graph_store(
-            spark, tbl._scan(added), prefix=graph_prefix, two_hop_ready=True
-        )
+        _maybe_refresh(spark, graph_prefix, ledger_root, max(refresh_every, 1))
 
     return (
         docs_stream.writeStream.foreachBatch(process)
@@ -286,3 +278,75 @@ def streaming_graph_ingest(
         .queryName("streaming_graph_ingest")
         .start()
     )
+
+
+def _covered_marker(spark, graph_prefix: str) -> int | None:
+    """Newest ledger snapshot id the serving tables reflect (None =
+    unknown/never refreshed)."""
+    if not spark.catalog.tableExists(f"{graph_prefix}__covered"):
+        return None
+    row = spark.table(f"{graph_prefix}__covered").collect()
+    return int(row[0]["snapshot_id"]) if row else None
+
+
+def _set_covered(spark, graph_prefix: str, snapshot_id: int) -> None:
+    from .storage import write_bucketed
+
+    write_bucketed(
+        spark.createDataFrame([(snapshot_id,)], "snapshot_id long"),
+        f"{graph_prefix}__covered", ["snapshot_id"], 1,
+    )
+
+
+def refresh_graph_serving(spark, graph_prefix: str, ledger_root: str) -> None:
+    """Rebuild the serving substrate from the authoritative ledger (full
+    re-aggregate; correct from ANY torn state) and stamp the coverage
+    marker. Call after an availableNow drain with ``refresh_every > 1``
+    to force the serving tables up to date."""
+    from .iceberg_lite import IcebergLiteTable
+    from .storage import write_graph_bucketed
+
+    tbl = IcebergLiteTable(spark, ledger_root)
+    merged = (
+        tbl.read()
+        .groupBy("subj", "pred", "obj")
+        .agg(F.sum("support").alias("support"))
+    )
+    write_graph_bucketed(spark, merged, prefix=graph_prefix, two_hop_ready=True)
+    _set_covered(spark, graph_prefix, tbl.current_snapshot_id())
+
+
+def _maybe_refresh(spark, graph_prefix: str, ledger_root: str, every: int) -> None:
+    """Serving-refresh policy: count ledger snapshots past the coverage
+    marker; at ``every`` pending, merge exactly those snapshots' added
+    files into the store (store side scans bucketed in place) and advance
+    the marker. Marker unknown / not in history / store missing → full
+    rebuild. The marker advances only AFTER a successful swap; a crash
+    in between leaves the batch unacked, so the replay path rebuilds —
+    double-merge is impossible."""
+    from .graph_store import merge_into_graph_store
+    from .iceberg_lite import IcebergLiteTable
+
+    tbl = IcebergLiteTable(spark, ledger_root)
+    snaps = tbl.snapshots()
+    marker = _covered_marker(spark, graph_prefix)
+    ids = [s["snapshot_id"] for s in snaps]
+    if (
+        marker is None
+        or marker not in ids
+        or not spark.catalog.tableExists(f"{graph_prefix}_triples")
+    ):
+        refresh_graph_serving(spark, graph_prefix, ledger_root)
+        return
+    pending = len(ids) - 1 - ids.index(marker)
+    if pending < every:
+        return  # ledger durable; serving lags by < every batches (policy)
+    base_dirs = set(tbl._snapshot(marker)["data_dirs"])
+    added = [d for d in snaps[-1]["data_dirs"] if d not in base_dirs]
+    batch = (
+        tbl._scan(added)
+        .groupBy("subj", "pred", "obj")
+        .agg(F.sum("support").alias("support"))
+    )
+    merge_into_graph_store(spark, batch, prefix=graph_prefix, two_hop_ready=True)
+    _set_covered(spark, graph_prefix, ids[-1])

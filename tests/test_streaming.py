@@ -217,7 +217,7 @@ def test_streaming_graph_ingest_builds_and_merges_store(spark, tmp_path):
     from kargo_spark.iceberg_lite import IcebergLiteTable
 
     PREFIX = "t_sgi"
-    for suf in ("_triples", "_nodes", "_edges", "_hop_t1", "_hop_t2"):
+    for suf in ("_triples", "_nodes", "_edges", "_hop_t1", "_hop_t2", "__covered"):
         spark.sql(f"DROP TABLE IF EXISTS {PREFIX}{suf}")
         spark.sql(f"DROP TABLE IF EXISTS {PREFIX}__stage{suf}")
     src = tmp_path / "docs_src"
@@ -272,7 +272,7 @@ def test_streaming_graph_ingest_builds_and_merges_store(spark, tmp_path):
     # incrementally on top.
     from kargo_spark.pipeline import triples_chain
 
-    for suf in ("_triples", "_nodes", "_edges", "_hop_t1", "_hop_t2"):
+    for suf in ("_triples", "_nodes", "_edges", "_hop_t1", "_hop_t2", "__covered"):
         spark.sql(f"DROP TABLE IF EXISTS {PREFIX}{suf}")
         spark.sql(f"DROP TABLE IF EXISTS {PREFIX}__stage{suf}")
     ledger2 = str(tmp_path / "ledger2")
@@ -297,6 +297,53 @@ def test_streaming_graph_ingest_builds_and_merges_store(spark, tmp_path):
     )
     assert sorted(map(tuple, spark.table(f"{PREFIX}_triples").collect())) == expect2
     assert spark.catalog.tableExists(f"{PREFIX}_hop_t1")  # rebuilt + refreshed
-    for suf in ("_triples", "_nodes", "_edges", "_hop_t1", "_hop_t2"):
+    for suf in ("_triples", "_nodes", "_edges", "_hop_t1", "_hop_t2", "__covered"):
+        spark.sql(f"DROP TABLE IF EXISTS {PREFIX}{suf}")
+        spark.sql(f"DROP TABLE IF EXISTS {PREFIX}__stage{suf}")
+
+
+def test_streaming_graph_ingest_amortized_refresh(spark, tmp_path):
+    """refresh_every=3: the ledger commits every batch exactly-once, but
+    the serving store refreshes only at the cadence — after a 2-file
+    drain it reflects the bootstrap batch only (lag < refresh_every);
+    refresh_graph_serving forces the sync and stamps the marker."""
+    from kargo_spark.iceberg_lite import IcebergLiteTable
+    from kargo_spark.streaming import refresh_graph_serving
+
+    PREFIX = "t_sgi_amort"
+    for suf in ("_triples", "_nodes", "_edges", "_hop_t1", "_hop_t2", "__covered"):
+        spark.sql(f"DROP TABLE IF EXISTS {PREFIX}{suf}")
+        spark.sql(f"DROP TABLE IF EXISTS {PREFIX}__stage{suf}")
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    docs = synth_documents(spark, n_rows=50, distinct_paths=True)
+    docs.limit(25).coalesce(1).write.mode("overwrite").parquet(str(src / "f0"))
+    docs.subtract(docs.limit(25)).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "f1")
+    )
+    ledger_root = str(tmp_path / "ledger")
+    stream = (
+        spark.readStream.format("parquet").schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).load(str(src) + "/*")
+    )
+    q = S.streaming_graph_ingest(
+        stream, PREFIX, ledger_root, str(tmp_path / "ck"), refresh_every=3
+    )
+    q.awaitTermination(180)
+    tbl = IcebergLiteTable(spark, ledger_root)
+    assert len(tbl.snapshots()) == 2  # both batches durable in the ledger
+    agg = lambda df: sorted(
+        map(tuple, df.groupBy("subj", "pred", "obj")
+            .agg(F.sum("support").alias("support")).collect())
+    )
+    first_only = agg(tbl.read(snapshot_id=tbl.snapshots()[0]["snapshot_id"]))
+    full = agg(tbl.read())
+    got = sorted(map(tuple, spark.table(f"{PREFIX}_triples").collect()))
+    assert got == first_only and got != full  # serving lags by design
+    refresh_graph_serving(spark, PREFIX, ledger_root)
+    assert sorted(map(tuple, spark.table(f"{PREFIX}_triples").collect())) == full
+    from kargo_spark.streaming import _covered_marker
+    assert _covered_marker(spark, PREFIX) == tbl.current_snapshot_id()
+    for suf in ("_triples", "_nodes", "_edges", "_hop_t1", "_hop_t2", "__covered"):
         spark.sql(f"DROP TABLE IF EXISTS {PREFIX}{suf}")
         spark.sql(f"DROP TABLE IF EXISTS {PREFIX}__stage{suf}")
