@@ -268,9 +268,11 @@ def merge_into_graph_store(
     into the ``{prefix}_triples`` bucketed table and refresh the derived
     node/edge/hop tables. Same result as ``merge_triples(store, new)``
     (tested row-for-row) but with the store-scale economics: the merge is
-    a full-outer join on the bucketed (subj, pred, obj) key, so ONLY the
-    new batch shuffles — the 10^12-row store side scans its bucketed
-    layout in place (``assert_store_side_local`` raises if the plan says
+    a full-outer join on the triple key served by the store's (subj, obj)
+    bucket layout (a subset of the join keys — see write_graph_bucketed
+    for why the subset, not the full key), so ONLY the new batch
+    shuffles — the 10^12-row store side scans its bucketed layout in
+    place (``assert_store_side_local`` raises if the plan says
     otherwise). The refreshed tables are written to staging names and
     swapped in via catalog rename, so a reader never sees a dropped
     store, and the swap only happens after the merged data is fully
