@@ -191,7 +191,12 @@ def run_scaling_multi() -> dict:
     headline >= 0.8 claim is checkable on medians, not just cherry-pickable
     mins. Superlinear raw ratios (possible on a shared host when the
     small config caught interference) are visible as median/min spread
-    rather than silently reported."""
+    rather than silently reported.
+
+    Each completed rep is checkpointed to KARGO_SCALING_LOG (JSONL) the
+    moment it finishes, and a rerun resumes from that log — a multi-hour
+    measurement survives the driver process dying (which is exactly how
+    the first round-5 attempt lost its run)."""
     max_load = float(os.environ.get("KARGO_SCALING_MAX_LOAD", "6"))
     max_wait = float(os.environ.get("KARGO_SCALING_MAX_WAIT_SEC", "600"))
     configs = [
@@ -214,10 +219,23 @@ def run_scaling_multi() -> dict:
         k = len(s) // 2
         return s[k] if len(s) % 2 else 0.5 * (s[k - 1] + s[k])
 
+    log_path = os.environ.get("KARGO_SCALING_LOG", "")
+    resumed: dict[str, list] = {}
+    if log_path and os.path.exists(log_path):
+        with open(log_path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rep = json.loads(line)
+                # only reuse reps measured on the same corpus definition
+                if rep.get("n_docs") == SCALING_DOCS:
+                    resumed.setdefault(str(rep["cpus"]), []).append(rep)
+
     results = {}
     for cpus in configs:
-        reps = []
-        for _ in range(SCALING_REPS):
+        reps = resumed.get(cpus, [])[:SCALING_REPS]
+        while len(reps) < SCALING_REPS:
             _wait_quiet()
             env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
                        KARGO_SHUFFLE_PARTITIONS=str(int(cpus) * 4))
@@ -232,6 +250,9 @@ def run_scaling_multi() -> dict:
             rep = json.loads(lines[-1])
             rep["loadavg_1m"] = round(os.getloadavg()[0], 1)
             reps.append(rep)
+            if log_path:
+                with open(log_path, "a") as fh:
+                    fh.write(json.dumps(rep) + "\n")
         results[cpus] = {
             "secs": [r["sec"] for r in reps],
             "loads": [r["loadavg_1m"] for r in reps],
