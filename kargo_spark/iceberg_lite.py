@@ -282,6 +282,111 @@ class IcebergLiteTable:
             f"rollback of {self.root} lost 20 optimistic-concurrency races"
         )
 
+    def compact(
+        self, target_file_mb: float = 128.0, min_input_files: int = 4
+    ) -> dict:
+        """Iceberg's ``rewrite_data_files`` maintenance action: rewrite the
+        current snapshot's accumulated small data files into
+        ~``target_file_mb`` files and commit the result as a ``replace``
+        snapshot holding the SAME rows. Incremental/streaming ingest
+        appends one small data dir per batch (by design — appends never
+        rewrite), so without periodic compaction a long-lived table's scan
+        degrades to thousands-of-tiny-files; at 10^12-row scale compaction
+        is what keeps the store's read side healthy. History is preserved:
+        the parent snapshot still reads the old files until
+        ``expire_snapshots`` reclaims them — compact + expire is the
+        standard maintenance pair.
+
+        Concurrency: like Iceberg's RewriteDataFiles, a compaction only
+        commits if the snapshot it rewrote is STILL current at swap time;
+        if a writer committed in between, the rewrite is discarded and
+        redone from the new state (never silently dropping the racer's
+        rows). Returns a metrics dict; ``{"compacted": False}`` when the
+        table is already within target (the no-op fast path makes it safe
+        to call after every ingest).
+        """
+        import math
+        import shutil
+        import uuid
+
+        for _ in range(5):
+            sid = self.current_snapshot_id()
+            if sid is None:
+                return {"compacted": False, "reason": "empty table"}
+            snap = self._snapshot(sid)
+            files: list[tuple[str, int]] = []
+            for d in snap["data_dirs"]:
+                for base, _dirs, names in os.walk(d):
+                    for n in names:
+                        if n.endswith(".parquet"):
+                            p = os.path.join(base, n)
+                            files.append((p, os.path.getsize(p)))
+            total = sum(sz for _, sz in files)
+            n_out = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+            if len(files) < max(min_input_files, n_out + 1):
+                return {
+                    "compacted": False,
+                    "reason": "within target",
+                    "input_files": len(files),
+                    "input_bytes": total,
+                }
+            # round-robin repartition: compaction equalizes file sizes, it
+            # does not impose a clustering (Iceberg's binpack strategy)
+            df = self._scan(snap["data_dirs"]).repartition(n_out)
+            data_dir = os.path.join(
+                self.root, "data", f"compact-{sid}-{uuid.uuid4().hex[:8]}"
+            )
+            pcounts = self._write_data(df, data_dir)
+            committed_id = None
+            for _ in range(20):
+                cur_v = self.current_version()
+                meta = self._metadata()
+                if meta is None or meta["current_snapshot_id"] != sid:
+                    break  # a writer moved the table — rewrite from its state
+                new_id = max(s["snapshot_id"] for s in meta["snapshots"]) + 1
+                new_snap = {
+                    "snapshot_id": new_id,
+                    "parent_snapshot_id": sid,
+                    "operation": "replace",
+                    "timestamp_ms": int(time.time() * 1000),
+                    "data_dirs": [data_dir],
+                    "summary": {
+                        "added_rows": sum(pcounts.values()),
+                        "added_partitions": pcounts,
+                        "schema": snap["summary"]["schema"],
+                        "compaction_of": sid,
+                        "rewritten_files": len(files),
+                        "rewritten_bytes": total,
+                    },
+                }
+                new_meta = {
+                    "format_version": meta["format_version"],
+                    "current_snapshot_id": new_id,
+                    "snapshots": meta["snapshots"] + [new_snap],
+                }
+                if self._commit_metadata(cur_v + 1, new_meta):
+                    committed_id = new_id
+                    break
+            if committed_id is not None:
+                out_files = sum(
+                    1
+                    for base, _dirs, names in os.walk(data_dir)
+                    for n in names
+                    if n.endswith(".parquet")
+                )
+                return {
+                    "compacted": True,
+                    "snapshot_id": committed_id,
+                    "input_files": len(files),
+                    "output_files": out_files,
+                    "input_bytes": total,
+                    "rows": sum(pcounts.values()),
+                }
+            shutil.rmtree(data_dir, ignore_errors=True)  # orphaned rewrite
+        raise RuntimeError(
+            f"compact on {self.root} aborted 5 times on concurrent writers"
+        )
+
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Drop old snapshots' metadata entries and delete data dirs no
         retained snapshot references. Returns expired ids. (Iceberg's
@@ -340,3 +445,27 @@ def write_graph_tables(
         "nodes": IcebergLiteTable(spark, os.path.join(root, "nodes")).commit(nodes, operation),
         "edges": IcebergLiteTable(spark, os.path.join(root, "edges")).commit(edges, operation),
     }
+
+
+def maintain_tables(
+    spark: SparkSession,
+    roots: list[str],
+    target_file_mb: float = 128.0,
+    keep_last: int = 2,
+) -> dict[str, dict]:
+    """The standard Iceberg maintenance pair — ``rewrite_data_files`` then
+    ``expire_snapshots`` — over a set of table roots (e.g. the streaming
+    triple ledger plus the nodes/edges tables). Compaction first creates
+    the replace snapshot; expiry then reclaims the superseded small files
+    once they fall outside the retention window. Safe to run on a
+    schedule: both actions are no-ops on an already-healthy table."""
+    report: dict[str, dict] = {}
+    for root in roots:
+        tbl = IcebergLiteTable(spark, root)
+        if not tbl.exists():
+            report[root] = {"compacted": False, "reason": "no table"}
+            continue
+        r = tbl.compact(target_file_mb=target_file_mb)
+        r["expired_snapshots"] = tbl.expire_snapshots(keep_last=keep_last)
+        report[root] = r
+    return report

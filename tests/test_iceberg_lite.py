@@ -330,3 +330,85 @@ def test_incremental_triple_merge_snapshots(spark, tmp_path):
     before = {(r["subj"], r["obj"]): r["support"] for r in t.read(snapshot_id=s1).collect()}
     assert before == {("a", "b"): 2, ("b", "c"): 1}
     assert s2 > s1
+
+
+def test_compact_rewrites_small_files_same_rows(spark, tmp_path):
+    """Ten appends -> many tiny files; compact() folds them into few
+    files in ONE replace snapshot with identical rows, and the parent
+    snapshot still time-travels to the pre-compaction state."""
+    t = IcebergLiteTable(spark, str(tmp_path / "t"))
+    for i in range(10):
+        t.commit(_df(spark, 10 * i, 10 * (i + 1)), operation="append")
+    pre_sid = t.current_snapshot_id()
+    pre_rows = sorted(r["id"] for r in t.read().collect())
+    r = t.compact(target_file_mb=128.0)
+    assert r["compacted"] and r["rows"] == 100
+    assert r["output_files"] < r["input_files"]
+    snap = t._snapshot(r["snapshot_id"])
+    assert snap["operation"] == "replace"
+    assert snap["parent_snapshot_id"] == pre_sid
+    assert len(snap["data_dirs"]) == 1
+    assert sorted(x["id"] for x in t.read().collect()) == pre_rows
+    # history intact: the rewritten snapshot still reads its old files
+    assert t.read(snapshot_id=pre_sid).count() == 100
+
+
+def test_compact_noop_on_healthy_table(spark, tmp_path):
+    t = IcebergLiteTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 10).coalesce(1))
+    r = t.compact(target_file_mb=128.0)
+    assert not r["compacted"] and r["reason"] == "within target"
+    assert t.read().count() == 10
+
+
+def test_compact_aborts_rather_than_dropping_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """A writer committing between compact's rewrite-read and its
+    metadata swap must NOT lose rows: the first swap attempt sees a
+    moved table, discards the orphaned rewrite, and redoes it from the
+    racer's state — final table has the racer's rows."""
+    t = IcebergLiteTable(spark, str(tmp_path / "t"))
+    for i in range(5):
+        t.commit(_df(spark, 10 * i, 10 * (i + 1)), operation="append")
+
+    real_write = IcebergLiteTable._write_data
+    raced = {"done": False}
+
+    def write_then_race(self, df, data_dir):
+        counts = real_write(self, df, data_dir)
+        if not raced["done"] and "compact-" in data_dir:
+            raced["done"] = True
+            racer = IcebergLiteTable(spark, self.root)
+            monkeypatch.setattr(IcebergLiteTable, "_write_data", real_write)
+            racer.commit(_df(spark, 50, 60), operation="append")
+            monkeypatch.setattr(IcebergLiteTable, "_write_data", write_then_race)
+        return counts
+
+    monkeypatch.setattr(IcebergLiteTable, "_write_data", write_then_race)
+    r = t.compact(target_file_mb=128.0)
+    monkeypatch.setattr(IcebergLiteTable, "_write_data", real_write)
+    assert raced["done"] and r["compacted"]
+    assert r["rows"] == 60  # racer's append survived the compaction race
+    assert t.read().count() == 60
+
+
+def test_maintain_tables_compact_then_expire_reclaims_files(spark, tmp_path):
+    """The compact+expire pair: after maintenance the table reads the
+    same rows, holds few snapshots, and the superseded per-batch dirs
+    are physically gone (the 10^12-scale small-file reclamation path)."""
+    from kargo_spark.iceberg_lite import maintain_tables
+
+    root = str(tmp_path / "ledger")
+    t = IcebergLiteTable(spark, root)
+    for i in range(8):
+        t.commit(_df(spark, 10 * i, 10 * (i + 1)), operation="append")
+    pre_dirs = set(t._snapshot(t.current_snapshot_id())["data_dirs"])
+    rep = maintain_tables(spark, [root], keep_last=1)[root]
+    assert rep["compacted"] and len(rep["expired_snapshots"]) == 8
+    assert t.read().count() == 80
+    assert len(t.snapshots()) == 1
+    assert all(not os.path.isdir(d) for d in pre_dirs)
+    # untracked root is reported, not crashed on
+    missing = str(tmp_path / "nope")
+    assert maintain_tables(spark, [missing])[missing]["reason"] == "no table"
