@@ -71,7 +71,7 @@ def gen_documents(spark, n_rows: int):
         F.concat(F.lit("src"), (_h("doc_id", F.lit(7)) % 20).cast("string")).alias(
             "source"
         ),
-    ).withColumn("n_chars", F.length("text"))
+    ).withColumn("n_chars", F.length("text").cast("long"))
 
 
 def gen_embeddings(spark, n_rows: int):
