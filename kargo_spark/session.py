@@ -27,8 +27,13 @@ if _PKG_PARENT not in os.environ.get("PYTHONPATH", ""):
 DEFAULT_SHUFFLE_PARTITIONS = 32
 # Cap rows per Arrow batch entering pandas UDFs: with size-bucketed
 # repartitioning (see skew.py) this bounds per-batch bytes even when
-# content lengths are heavy-tailed.
-ARROW_MAX_RECORDS = 2048
+# content lengths are heavy-tailed. Env-overridable because the right
+# value is environment-dependent: each batch is one JVM<->Python socket
+# round-trip, and on hosts where syscalls are expensive (sandboxed or
+# nested-virtualized kernels — measured 83% system time at local[32]
+# on this one) larger batches trade per-batch memory for far fewer
+# kernel crossings in wide-parallelism pandas-UDF stages.
+ARROW_MAX_RECORDS = int(os.environ.get("KARGO_ARROW_MAX_RECORDS", "2048"))
 
 
 def get_spark(
