@@ -110,9 +110,19 @@ class CheckpointRunner:
         except (json.JSONDecodeError, OSError):
             return False
 
-    def run_stage(self, name: str, fn: Callable[[], DataFrame]) -> DataFrame:
+    def run_stage(
+        self, name: str, fn: Callable[[], DataFrame], persist: bool = True
+    ) -> DataFrame:
         """Compute-or-load a stage. ``fn`` is only invoked on a cache miss,
-        so resumed runs never even build the upstream plan."""
+        so resumed runs never even build the upstream plan.
+
+        ``persist=False`` (in-memory mode only) skips the stage cache:
+        right for stages with exactly ONE downstream consumer, where a
+        lazy persist is pure overhead — the cache write (copy + memory
+        pressure) buys nothing because the block is read back exactly once
+        (guide §5: caching is only worth it when a DataFrame is REUSED).
+        Durable modes ignore the flag — a checkpoint is the product there,
+        not an optimization."""
         if self.use_snapshots:
             return self._run_stage_snapshot(name, fn)
         t0 = time.time()
@@ -122,7 +132,9 @@ class CheckpointRunner:
             # triples-only DAG); lazy persists let the caller's single
             # terminal action materialize the whole chain in one DAG while
             # still caching every shared node. rows=-1 marks "not counted".
-            df = fn().persist()
+            df = fn()
+            if persist:
+                df = df.persist()
             self.results.append(StageResult(name, "<memory>", -1, time.time() - t0, False))
             return df
         path = self._dir(name)

@@ -399,12 +399,20 @@ def simhash_pairs_from_hashes(
     h+1-contiguous-band layout had 7-bit keys at h=8). Verify = exact
     bit_count(xor).
 
-    Plan shape: the b block values are computed once into an array column,
-    the table->block-combination map is a tiny broadcast DataFrame (DATA,
-    not a 495-element literal expression — the literal variant cost ~50 s
-    of pure planning/codegen), and each table key is xxhash64 over (table
-    id, its block values), so different tables never share buckets. The
-    self-join is a single equi-join on ``key``.
+    Plan shape (re-profiled r06): the b block values are computed once
+    into an array column, the table->block-combination map is a tiny
+    broadcast DataFrame (DATA, not a 495-element literal expression — the
+    literal variant cost ~50 s of pure planning/codegen), and each table
+    key is xxhash64 over (table id, its block values), so different
+    tables never share buckets. The (id, sim) base is PERSISTED so the
+    expensive SimHash aggregate upstream is computed once, not once per
+    self-join side. The self-join is a single equi-join on ``key`` whose
+    shuffle carries ONLY (id, key) — at 495 tables/doc the banded table
+    is ~500x the corpus row count, so every byte on it is multiplied;
+    ``sim`` re-attaches to the (tiny, post-dedup) candidate pair set via
+    two joins against the n-row base instead of riding the banded
+    exchange and the pair dedup (guide §2.3 'shuffle keys and metadata
+    instead of payloads').
     """
     blocks, tables = simhash_band_spec(max_hamming, min_key_bits)
 
@@ -420,12 +428,15 @@ def simhash_pairs_from_hashes(
     combo_df = spark.createDataFrame(
         [(t, list(tbl)) for t, tbl in enumerate(tables)], "tbl int, blks array<int>"
     )
-    sh = hashed.select(F.col(id_col).alias("id"), F.col(sim_col).alias("sim"))
+    # persist: one SimHash pass for the corpus (both self-join sides and
+    # the verify re-attach read this n-row, 16-byte/row cache). Same
+    # lifetime convention as minhash_lsh_pairs' signature base.
+    sh = hashed.select(F.col(id_col).alias("id"), F.col(sim_col).alias("sim")).persist()
     banded = (
         sh.withColumn("blk", F.array(*[_block_val(s, w) for s, w in blocks]))
         .join(F.broadcast(combo_df))
         .select(
-            "id", "sim",
+            "id",
             # hash the block-value ARRAY directly (xxhash64 supports array
             # args): building a ","-joined string per (doc x table) row was
             # pure allocation overhead at 495 tables/doc
@@ -436,14 +447,17 @@ def simhash_pairs_from_hashes(
         )
     )
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    cand = (
         a.join(b, ["key"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("a"), F.col("b.id").alias("b"),
-            F.col("a.sim").alias("sima"), F.col("b.sim").alias("simb"),
-        )
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
         .dropDuplicates(["a", "b"])
+    )
+    sim_a = sh.select(F.col("id").alias("a"), F.col("sim").alias("sima"))
+    sim_b = sh.select(F.col("id").alias("b"), F.col("sim").alias("simb"))
+    return (
+        cand.join(sim_a, "a")
+        .join(sim_b, "b")
         .select(
             "a", "b",
             F.bit_count(F.col("sima").bitwiseXOR(F.col("simb"))).alias("hamming"),

@@ -346,8 +346,9 @@ def merge_into_graph_store(
     # location with it (probed r05: bucketing spec survives the rename).
     for suf in ["_nodes", "_edges", "_triples", "_hop_t1", "_hop_t2"]:
         has_stage = spark.catalog.tableExists(f"{stage}{suf}")
+        existed = spark.catalog.tableExists(f"{prefix}{suf}")
         spark.sql(f"DROP TABLE IF EXISTS {prefix}{suf}")
-        _sweep_dangling_location(spark, f"{prefix}{suf}")
+        _sweep_dangling_location(spark, f"{prefix}{suf}", claimed=existed)
         if has_stage:
             spark.sql(f"ALTER TABLE {stage}{suf} RENAME TO {prefix}{suf}")
         # else: the new generation has no such table — the stale one from
@@ -356,10 +357,18 @@ def merge_into_graph_store(
     return spark.table(store_tbl)
 
 
-def _sweep_dangling_location(spark, table: str) -> None:
+def _sweep_dangling_location(spark, table: str, claimed: bool = False) -> None:
     """After DROP TABLE, clear a leftover default-location dir (a fresh
     in-memory metastore over an old warehouse can leave one) so the
-    following catalog RENAME's location move cannot collide."""
+    following catalog RENAME's location move cannot collide.
+
+    ``claimed=True`` means the catalog owned this table immediately before
+    the DROP, so whatever remains at the default location was that table's
+    data — sweep freely. When the catalog did NOT claim it, the dir could
+    be an unrelated same-named user directory inside a pointed-at
+    warehouse: apply the same looks-like-a-Spark-dataset check as
+    ``storage.write_bucketed`` and REFUSE to delete anything foreign
+    (r05 verdict what's-wrong #3)."""
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
     path = None
     if warehouse.startswith("file:"):
@@ -369,9 +378,26 @@ def _sweep_dangling_location(spark, table: str) -> None:
     elif warehouse.startswith("/"):
         path = warehouse
     if path and "." not in table:
+        import os
         import shutil
 
-        shutil.rmtree(f"{path}/{table.lower()}", ignore_errors=True)
+        loc = f"{path}/{table.lower()}"
+        if not claimed and os.path.isdir(loc):
+            foreign = [
+                n
+                for n in os.listdir(loc)
+                if not (
+                    n.startswith("part-") or n.startswith("_") or n.startswith(".")
+                )
+            ]
+            if foreign:
+                raise RuntimeError(
+                    f"graph-store swap: {loc} exists, is not claimed by the "
+                    f"catalog, and does not look like a Spark dataset "
+                    f"(unexpected entries: {foreign[:5]}); refusing to delete "
+                    f"it — move it aside or choose another prefix/warehouse."
+                )
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def graph_tables(triples: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -110,10 +110,18 @@ def run_pipeline(
     """
     ck = CheckpointRunner(spark, workdir, resume=resume, use_snapshots=use_snapshots)
 
+    # in-memory mode persist policy (guide §5: cache only what is REUSED):
+    # docs_clean (tokenize + the n_docs count) and candidates (df/scores/
+    # mentions) have multiple consumers and stay cached; tokens is cached
+    # only for the rankers that read the token stream again; df_counts/
+    # term_scores/terms_topk/pairs/triples are straight-line single-
+    # consumer stages whose lazy persist was pure cache-write overhead.
+    # Durable (workdir) modes ignore the flag — checkpoints stay durable.
     docs_clean = ck.run_stage("docs_clean", lambda: corpus.docs_clean(documents))
     tokens = ck.run_stage(
         "tokens",
         lambda: nlp.tokenize(size_bucketed(docs_clean, "content")),
+        persist=ranker in ("yake", "singlerank", "positionrank"),
     )
     # grouped form consumed by both candidates and pairs; persist so the
     # (doc, sentence) regroup shuffle happens once
@@ -123,15 +131,25 @@ def run_pipeline(
         lambda: C.filter_candidates(C.mine_candidates(sentences), stopwords=C.DEFAULT_STOPWORDS),
     )
     df_tab = ck.run_stage(
-        "df_counts", lambda: weighting.document_frequency(cands)[0]
+        "df_counts", lambda: weighting.document_frequency(cands)[0],
+        persist=False,
     )
     n_docs = docs_clean.count()
     scores = ck.run_stage(
-        "term_scores", lambda: rank_scores(ranker, tokens, cands, df_tab, n_docs)
+        "term_scores", lambda: rank_scores(ranker, tokens, cands, df_tab, n_docs),
+        persist=False,
     )
-    topk = ck.run_stage("terms_topk", lambda: weighting.top_k_terms(scores, k=n_terms))
-    ments = ck.run_stage("mentions", lambda: relations.mentions(cands, topk))
-    prs = ck.run_stage("pairs", lambda: relations.pairs(ments, sentences))
+    topk = ck.run_stage(
+        "terms_topk", lambda: weighting.top_k_terms(scores, k=n_terms),
+        persist=False,
+    )
+    ments = ck.run_stage(
+        "mentions", lambda: relations.mentions(cands, topk), persist=linking
+    )
+    prs = ck.run_stage(
+        "pairs", lambda: relations.pairs(ments, sentences),
+        persist=cluster_relations,
+    )
 
     if cluster_relations:
         embed = make_embedder()
@@ -162,7 +180,10 @@ def run_pipeline(
             "triples", lambda: relations.triples_from_pairs(triple_src, pred_col="pred")
         )
     else:
-        triples = ck.run_stage("triples", lambda: relations.triples_from_pairs(prs))
+        triples = ck.run_stage(
+            "triples", lambda: relations.triples_from_pairs(prs),
+            persist=graph_prefix is not None,
+        )
 
     entities = links = None
     if linking:

@@ -31,10 +31,22 @@ def _tokens(col):
     return F.filter(F.split(F.lower(col), r"[^a-z0-9']+"), lambda t: t != "")
 
 
-def token_count(col):
+# Every signal builder below takes an optional pre-projected ``toks``
+# array column. Motivation (r06 profile): higher-order-function lambdas
+# are evaluated INTERPRETED (no whole-stage codegen), so they get no
+# subexpression elimination — a query combining these signals re-split
+# the document once per reference (42 split() nodes in q_lang_quality's
+# physical plan; measured 1.8 s noop at sf0.1). Projecting the token
+# array ONCE and passing it in leaves a single split in the plan
+# (CollapseProject keeps a non-cheap alias that is referenced more than
+# once) — measured 0.64 s, identical values. Callers that pass nothing
+# get the old tokenize-inline behavior.
+
+
+def token_count(col, toks=None):
     """Whitespace-word count + a BPE-ish subword estimate (chars/4 bound,
     the common rule-of-thumb for byte-pair tokenizers)."""
-    words = F.size(_tokens(col))
+    words = F.size(toks if toks is not None else _tokens(col))
     bpe_est = F.ceil(F.length(col) / 4).cast("long")
     return words.cast("long").alias("n_words"), bpe_est.alias("n_tokens_bpe_est")
 
@@ -44,9 +56,9 @@ def with_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("n_words", w).withColumn("n_tokens_bpe_est", b)
 
 
-def language_scores(col) -> dict[str, "F.Column"]:
+def language_scores(col, toks=None) -> dict[str, "F.Column"]:
     """Per-language marker-hit ratio columns (exact rationals in double)."""
-    toks = _tokens(col)
+    toks = toks if toks is not None else _tokens(col)
     n = F.greatest(F.size(toks), F.lit(1))
     out = {}
     for lang, markers in _LANG_MARKERS.items():
@@ -56,11 +68,11 @@ def language_scores(col) -> dict[str, "F.Column"]:
     return out
 
 
-def language_id(col):
+def language_id(col, toks=None):
     """Heuristic language ID: argmax of marker-lexicon hit ratio with
     FIRST-WINS tiebreak in lexicon order (en, es, fr, de) — deterministic
     and exactly replicable in ANSI SQL (chained CASE); 'und' if no hits."""
-    s = language_scores(col)
+    s = language_scores(col, toks=toks)
     langs = list(_LANG_MARKERS)
     expr = F.lit(langs[-1])
     for i in range(len(langs) - 2, -1, -1):
@@ -77,7 +89,7 @@ def language_id(col):
     return F.when(no_hits, F.lit("und")).otherwise(expr)
 
 
-def quality_score(col, stopwords: list[str] | None = None):
+def quality_score(col, stopwords: list[str] | None = None, toks=None):
     """Composite document-quality heuristics (Gopher/C4-style filters):
 
     * mean word length in [3, 10]
@@ -88,7 +100,7 @@ def quality_score(col, stopwords: list[str] | None = None):
     Returns a struct(mean_word_len, stopword_ratio, alpha_ratio, quality)
     with quality in [0,1] = fraction of heuristics passed.
     """
-    toks = _tokens(col)
+    toks = toks if toks is not None else _tokens(col)
     n = F.greatest(F.size(toks), F.lit(1))
     mean_wl = F.aggregate(toks, F.lit(0).cast("long"),
                           lambda acc, t: acc + F.length(t)) / n
@@ -112,7 +124,7 @@ def quality_score(col, stopwords: list[str] | None = None):
     )
 
 
-def repetition_signals(col):
+def repetition_signals(col, toks=None):
     """Within-document repetition signals (Gopher/MassiveText repetition
     filters, the SQL-expressible subset): fraction of duplicate words and
     duplicate word-3-grams, plus the frequency share of the single most
@@ -122,7 +134,7 @@ def repetition_signals(col):
     Returns struct(n_words, dup_word_ratio, dup_3gram_ratio,
     top_word_ratio), ratios 0.0 on empty docs.
     """
-    toks = _tokens(col)
+    toks = toks if toks is not None else _tokens(col)
     n = F.size(toks)
     nd = F.greatest(n, F.lit(1)).cast("double")
     dup_word = (n - F.size(F.array_distinct(toks))) / nd
@@ -167,6 +179,7 @@ def quality_filter(
     max_dup_3gram_ratio: float = 0.5,
     max_top_word_ratio: float = 0.3,
     stopwords: list[str] | None = None,
+    toks=None,
 ):
     """Composite Gopher/C4-style KEEP decision for a training corpus —
     the filter stage big-LM pipelines run between dedup and tokenization,
@@ -179,8 +192,8 @@ def quality_filter(
     repetition_ok, keep) — per-rule booleans so a pipeline can report WHY
     documents were dropped (filter observability), keep = all rules.
     """
-    q = quality_score(col, stopwords)
-    r = repetition_signals(col)
+    q = quality_score(col, stopwords, toks=toks)
+    r = repetition_signals(col, toks=toks)
     words_ok = (r["n_words"] >= min_words) & (r["n_words"] <= max_words)
     word_len_ok = (
         (q["mean_word_len"] >= min_mean_word_len)
@@ -245,11 +258,11 @@ def make_html_unescape():
     return unescape
 
 
-def fingerprint(col, n: int = 4):
+def fingerprint(col, n: int = 4, toks=None):
     """Deterministic document fingerprint: md5 over the document's sorted
     distinct word n-gram hash set — a rolling-hash-style content signature
     robust to word order at the edges (winnowing-lite)."""
-    toks = _tokens(col)
+    toks = toks if toks is not None else _tokens(col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")))
     return F.md5(F.array_join(F.array_sort(F.array_distinct(grams)), ","))

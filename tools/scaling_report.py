@@ -63,6 +63,10 @@ def main() -> None:
     print()
     for pair in args.pairings.split(","):
         lo, hi = (int(x) for x in pair.split(":"))
+        if lo not in stats or hi not in stats:
+            print(f"{lo}->{hi}: skipped (no reps logged for "
+                  f"{[c for c in (lo, hi) if c not in stats]})")
+            continue
         f = hi / lo
         row = (f"{lo}->{hi}: raw eff min={stats[hi]['min_dps'] / (f * stats[lo]['min_dps']):.3f} "
                f"median={stats[hi]['med_dps'] / (f * stats[lo]['med_dps']):.3f}")
