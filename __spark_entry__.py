@@ -1444,7 +1444,16 @@ def q_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """precision_at_k + relative_recall: (part, method, k, mean_val,
-    std_val, n_docs) — relative_recall has no std, pinned 0.0."""
+    std_val, n_docs) — relative_recall has no std, pinned 0.0.
+
+    Left as the plain two-part composition: an r06 variant that built the
+    tf-idf predictions and gold set once, persisted them and passed them
+    to both parts measured a WASH (interleaved A/B, old 2.34-2.99 s vs
+    shared 2.46-3.24 s at sf0.1) — the persists force materializing
+    columns that count-pruning would skip, cancelling the saved planning;
+    the suite's residual cost is driver planning of the union tree, and
+    the ranker chain is already deduplicated across parts by the
+    persisted candidate table (see _unigram_candidates)."""
     p = q_precision_at_k(spark, sf_dir).select(
         F.lit("precision_at_k").alias("part"), F.lit("").alias("method"),
         "k", F.col("mean_precision").alias("mean_val"),

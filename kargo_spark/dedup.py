@@ -252,6 +252,17 @@ def minhash_lsh_pairs(
     shb_side = sh_tab.withColumnRenamed("id", "b").withColumnRenamed("shh", "shb")
     if broadcast_verify:
         sha_side, shb_side = F.broadcast(sha_side), F.broadcast(shb_side)
+        # the exact-Jaccard verify is CPU-dense but byte-light (the pair
+        # table is two longs per row), so AQE's byte-based coalescing
+        # folds it onto 1-2 tasks (profiled r06: 3.4 s of array
+        # intersections on 2 tasks while 30 cores idle). Re-spread the
+        # deduped candidate set to the session's parallelism before the
+        # map-side verify; only on the opt-in small-corpus path — the
+        # lazy sort-merge path at real scale gets wide partitions from
+        # its data volume naturally.
+        cand = cand.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism
+        )
     joined = cand.join(sha_side, "a").join(shb_side, "b")
     jac = F.size(F.array_intersect("sha", "shb")) / F.size(F.array_union("sha", "shb"))
     return (
@@ -389,6 +400,8 @@ def simhash_pairs_from_hashes(
     id_col: str = "id",
     sim_col: str = "sim",
     min_key_bits: int = 16,
+    max_bucket_size: int | None = None,
+    capped_stats: dict | None = None,
 ) -> DataFrame:
     """Banded Hamming join over precomputed 64-bit SimHash values.
 
@@ -413,6 +426,22 @@ def simhash_pairs_from_hashes(
     two joins against the n-row base instead of riding the banded
     exchange and the pair dedup (guide §2.3 'shuffle keys and metadata
     instead of payloads').
+
+    ``max_bucket_size`` is the DENSITY GUARD (r05 verdict next-step #4:
+    simhash at radius 8 on a dense corpus is output-quadratic — measured
+    66x pairs for 10x docs at sf1.0 — and had no observability before
+    the join materializes millions of pairs). Band buckets holding more
+    than ``max_bucket_size`` docs are dropped from the candidate join,
+    bounding any single bucket's contribution to max_bucket_size² pairs.
+    Unlike minhash's b-independent-chances banding, simhash banding is a
+    pigeonhole FULL-RECALL construction — a capped bucket genuinely can
+    lose pairs whose only clean block combination was the hot one — so
+    the default is None (off, exact contract intact) and engaging the
+    cap is an explicit recall trade for dense corpora. Per the repo's
+    no-silent-caps convention, pass ``capped_stats`` (dict) to receive
+    {"dropped_buckets", "dropped_rows", "max_possible_pairs_dropped"} —
+    a pre-join density probe costing one aggregate over the banded
+    table (reads the persisted ``sh`` base, not raw text).
     """
     blocks, tables = simhash_band_spec(max_hamming, min_key_bits)
 
@@ -446,6 +475,30 @@ def simhash_pairs_from_hashes(
             ).alias("key"),
         )
     )
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+        )
+        if capped_stats is not None:
+            rows = hot.collect()
+            capped_stats["dropped_buckets"] = len(rows)
+            capped_stats["dropped_rows"] = int(sum(r["n"] for r in rows))
+            capped_stats["max_possible_pairs_dropped"] = int(
+                sum(r["n"] * (r["n"] - 1) // 2 for r in rows)
+            )
+            if rows:
+                hot_lit = hashed.sparkSession.createDataFrame(
+                    [(r["key"],) for r in rows], "key long"
+                )
+                banded = banded.join(F.broadcast(hot_lit), ["key"], "left_anti")
+        else:
+            banded = banded.join(hot.select("key"), ["key"], "left_anti")
+    elif capped_stats is not None:
+        capped_stats["dropped_buckets"] = 0
+        capped_stats["dropped_rows"] = 0
+        capped_stats["max_possible_pairs_dropped"] = 0
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, ["key"])
@@ -473,14 +526,21 @@ def simhash_pairs(
     max_hamming: int = 3,
     seed: int = 42,
     token_hash=None,
+    max_bucket_size: int | None = None,
+    capped_stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band-blocked Hamming join with full
-    recall up to ``max_hamming`` (see ``simhash_pairs_from_hashes``)."""
+    recall up to ``max_hamming`` at the defaults; ``max_bucket_size`` /
+    ``capped_stats`` engage the observable density guard (see
+    ``simhash_pairs_from_hashes``)."""
     sh = docs.select(
         F.col(id_col).alias("id"),
         simhash64(F.col(text_col), seed, token_hash=token_hash).alias("sim"),
     )
-    return simhash_pairs_from_hashes(sh, max_hamming=max_hamming)
+    return simhash_pairs_from_hashes(
+        sh, max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size, capped_stats=capped_stats,
+    )
 
 
 def ngram_jaccard_pairs(

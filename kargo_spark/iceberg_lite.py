@@ -106,19 +106,52 @@ class IcebergLiteTable:
 
     # -- commit protocol --------------------------------------------------
 
-    def _write_data(self, df: DataFrame, data_dir: str) -> dict[str, int]:
+    # column types whose min/max are JSON-native and totally ordered —
+    # the ones we record per-file data-skipping stats for (the Iceberg
+    # manifest-stats analog, r05 verdict next-step #5)
+    _STAT_TYPES = ("string", "long", "integer", "short", "byte", "double",
+                   "float", "boolean")
+
+    def _write_data(
+        self, df: DataFrame, data_dir: str
+    ) -> tuple[dict[str, int], dict[str, dict]]:
         """The isolated writer: real Iceberg = ``df.writeTo(...).append()``.
         Tags rows with the writing partition id (lineage column) and
-        returns per-partition row counts for the snapshot summary."""
+        returns (per-partition row counts, per-FILE min/max column stats)
+        for the snapshot summary — both from ONE aggregation over the
+        written files. The stats are what ``read(where=...)`` prunes
+        with: at 10^12 rows the read side must skip files, not open
+        every file of every snapshot dir."""
         out = df.withColumn("_partition_id", F.spark_partition_id())
         out.write.mode("overwrite").parquet(data_dir)
         written = self.spark.read.parquet(data_dir)
-        return {
-            str(r["_partition_id"]): r["n"]
-            for r in written.groupBy("_partition_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        stat_cols = [
+            f.name for f in written.schema.fields
+            if f.name != "_partition_id" and f.dataType.typeName() in self._STAT_TYPES
+        ]
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in stat_cols:
+            aggs.append(F.min(c).alias(f"__min__{c}"))
+            aggs.append(F.max(c).alias(f"__max__{c}"))
+        rows = (
+            written.groupBy(
+                F.input_file_name().alias("__file"), "_partition_id"
+            ).agg(*aggs).collect()
+        )
+        pcounts: dict[str, int] = {}
+        file_stats: dict[str, dict] = {}
+        for r in rows:
+            pid = str(r["_partition_id"])
+            pcounts[pid] = pcounts.get(pid, 0) + r["__n"]
+            st = file_stats.setdefault(r["__file"], {})
+            for c in stat_cols:
+                lo, hi = r[f"__min__{c}"], r[f"__max__{c}"]
+                if c in st:  # same file seen for another writing partition
+                    plo, phi = st[c]
+                    lo = plo if lo is None else (lo if plo is None else min(lo, plo))
+                    hi = phi if hi is None else (hi if phi is None else max(hi, phi))
+                st[c] = [lo, hi]
+        return pcounts, file_stats
 
     def commit(
         self,
@@ -182,7 +215,7 @@ class IcebergLiteTable:
                 data_dir = os.path.join(
                     self.root, "data", f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}"
                 )
-                pcounts = self._write_data(df, data_dir)
+                pcounts, file_stats = self._write_data(df, data_dir)
 
             dirs = [data_dir]
             if operation == "append" and parent_id is not None:
@@ -197,6 +230,7 @@ class IcebergLiteTable:
                     "added_rows": sum(pcounts.values()),
                     "added_partitions": pcounts,
                     "schema": df.schema.simpleString(),
+                    "file_stats": file_stats,
                     **(summary_extra or {}),
                 },
             }
@@ -257,12 +291,94 @@ class IcebergLiteTable:
         """The isolated reader: real Iceberg = ``spark.read.table(...)``."""
         return self.spark.read.parquet(*dirs).drop("_partition_id")
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
-        """Current table state, or time travel to ``snapshot_id``."""
+    @staticmethod
+    def _norm_path(p: str) -> str:
+        if p.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            return unquote(urlparse(p).path)
+        return p
+
+    def _file_stats_index(self) -> dict[str, dict]:
+        """file path -> {col: [min, max]} across ALL snapshots (append
+        snapshots inherit parent data dirs, whose stats live in the
+        ancestor summaries; paths are unique, so a flat union is exact)."""
+        idx: dict[str, dict] = {}
+        for s in self.snapshots():
+            for f, st in (s["summary"].get("file_stats") or {}).items():
+                idx[self._norm_path(f)] = st
+        return idx
+
+    _WHERE_OPS = ("==", "<=", ">=", "<", ">")
+
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        where: tuple | None = None,
+        scan_stats: dict | None = None,
+    ) -> DataFrame:
+        """Current table state, or time travel to ``snapshot_id``.
+
+        ``where=(col, op, value)`` with op in ``==, <=, >=, <, >`` prunes
+        data files whose recorded [min, max] for ``col`` cannot satisfy
+        the predicate (the Iceberg manifest-stats analog — r05 verdict
+        next-step #5: at 10^12 rows the read side must skip files, not
+        open every file of every snapshot dir) and ALSO applies the
+        predicate as a real filter, so pruning is purely an optimization:
+        files without stats (pre-r06 snapshots) are scanned, results are
+        identical with or without stats. Pass ``scan_stats`` (dict) to
+        observe {"files_total", "files_scanned"} — the repo's
+        no-silent-skipping convention."""
         sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
         if sid is None:
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
-        return self._scan(self._snapshot(sid)["data_dirs"])
+        snap = self._snapshot(sid)
+        if where is None:
+            return self._scan(snap["data_dirs"])
+        col, op, val = where
+        if op not in self._WHERE_OPS:
+            raise ValueError(f"where op must be one of {self._WHERE_OPS}, got {op!r}")
+        c = F.col(col)
+        pred = {
+            "==": c == val, "<=": c <= val, ">=": c >= val,
+            "<": c < val, ">": c > val,
+        }[op]
+        files = [
+            os.path.join(base, n)
+            for d in snap["data_dirs"]
+            for base, _dirs, names in os.walk(d)
+            for n in names
+            if n.endswith(".parquet")
+        ]
+        idx = self._file_stats_index()
+        kept = []
+        for p in files:
+            st = idx.get(p)
+            if st is None or col not in st:
+                kept.append(p)  # no stats recorded -> must scan (safe)
+                continue
+            lo, hi = st[col]
+            if lo is None or hi is None:
+                kept.append(p)
+                continue
+            ok = {
+                "==": lo <= val <= hi,
+                "<=": lo <= val,
+                ">=": hi >= val,
+                "<": lo < val,
+                ">": hi > val,
+            }[op]
+            if ok:
+                kept.append(p)
+        if scan_stats is not None:
+            scan_stats["files_total"] = len(files)
+            scan_stats["files_scanned"] = len(kept)
+        if not kept:
+            # nothing can match; keep the schema by filtering a full scan
+            # (cheap: the filter is false on every row Spark reads, and
+            # parquet row-group stats prune most IO anyway)
+            return self._scan(snap["data_dirs"]).where(pred)
+        return self.spark.read.parquet(*kept).drop("_partition_id").where(pred)
 
     # -- maintenance ------------------------------------------------------
 
@@ -336,7 +452,7 @@ class IcebergLiteTable:
             data_dir = os.path.join(
                 self.root, "data", f"compact-{sid}-{uuid.uuid4().hex[:8]}"
             )
-            pcounts = self._write_data(df, data_dir)
+            pcounts, file_stats = self._write_data(df, data_dir)
             committed_id = None
             for _ in range(20):
                 cur_v = self.current_version()
@@ -354,6 +470,7 @@ class IcebergLiteTable:
                         "added_rows": sum(pcounts.values()),
                         "added_partitions": pcounts,
                         "schema": snap["summary"]["schema"],
+                        "file_stats": file_stats,
                         "compaction_of": sid,
                         "rewritten_files": len(files),
                         "rewritten_bytes": total,

@@ -33,7 +33,26 @@ DEFAULT_SHUFFLE_PARTITIONS = 32
 # nested-virtualized kernels — measured 83% system time at local[32]
 # on this one) larger batches trade per-batch memory for far fewer
 # kernel crossings in wide-parallelism pandas-UDF stages.
-ARROW_MAX_RECORDS = int(os.environ.get("KARGO_ARROW_MAX_RECORDS", "2048"))
+ARROW_MAX_RECORDS_DEFAULT = 2048
+
+
+def _arrow_max_records() -> int:
+    """Read and validate KARGO_ARROW_MAX_RECORDS at session-build time
+    (r05 ADVICE: an int() at import crashed any package import on a
+    non-integer value, let <=0 through to Spark unvalidated, and silently
+    ignored changes made after import)."""
+    raw = os.environ.get("KARGO_ARROW_MAX_RECORDS", str(ARROW_MAX_RECORDS_DEFAULT))
+    try:
+        val = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"KARGO_ARROW_MAX_RECORDS must be an integer, got {raw!r}"
+        ) from None
+    if val <= 0:
+        raise ValueError(
+            f"KARGO_ARROW_MAX_RECORDS must be > 0 (rows per Arrow batch), got {val}"
+        )
+    return val
 
 
 def get_spark(
@@ -60,6 +79,21 @@ def get_spark(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             os.environ.get("KARGO_ADVISORY_PARTITION", "64m"),
         )
+        # floor for AQE partition coalescing: the default 1m folds the
+        # CPU-dense-but-byte-light text shuffles (window/join stages over
+        # candidate rows are ~10-20 MB at bench scale) onto a handful of
+        # tasks; a lower floor keeps them wide. Parameterized: at real
+        # scale partitions are byte-heavy and the floor never binds.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("KARGO_MIN_PARTITION_SIZE", "1m"),
+        )
+        # allow the planner to pick shuffled-hash over sort-merge when the
+        # per-partition build side fits (guide §3.1) — env-overridable
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("KARGO_PREFER_SMJ", "true"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # allow co-partitioning on a SUBSET of the join keys: the graph
         # store buckets triples on (subj, obj) so the incremental merge
@@ -69,7 +103,7 @@ def get_spark(
         # "disabled by query planner" and the whole store re-shuffles)
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(_arrow_max_records()))
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONPATH", _PKG_PARENT)
         # local-mode shuffles go through spark.local.dir; /tmp here is

@@ -370,3 +370,41 @@ def test_minhash_capped_stats_observability(spark):
         docs, jaccard_threshold=0.2, max_bucket_size=1, capped_stats=stats_dedup
     ).collect()
     assert stats_dedup["dropped_buckets"] == stats["dropped_buckets"]
+
+
+def test_simhash_density_guard_observable_and_default_off(spark):
+    """r05 verdict next-step #4: simhash gets an observable density guard.
+    A cluster of identical simhash values makes every band bucket hot; a
+    small max_bucket_size must (a) report how hard it bound via
+    capped_stats, (b) drop the quadratic bucket pairs, and (c) leave the
+    default (None) path byte-identical to before, stats all zero."""
+    # 12 identical values (dense cluster -> every bucket holds 12) plus
+    # one pair at Hamming distance 2 sharing no bucket with the cluster
+    rows = [(i, 0x0F0F0F0F0F0F0F0F) for i in range(1, 13)]
+    rows += [(100, 0x7EDCBA9876543210), (101, 0x7EDCBA9876543210 ^ (1 << 3) ^ (1 << 40))]
+    hashed = spark.createDataFrame(rows, "id long, sim long")
+
+    # default: guard off, stats zero, all 66 cluster pairs + the planted pair
+    stats = {}
+    full = dedup.simhash_pairs_from_hashes(
+        hashed, max_hamming=8, capped_stats=stats
+    ).collect()
+    assert stats == {
+        "dropped_buckets": 0, "dropped_rows": 0, "max_possible_pairs_dropped": 0
+    }
+    full_pairs = {(r["a"], r["b"]) for r in full}
+    assert (100, 101) in full_pairs
+    assert len(full_pairs) == 66 + 1
+
+    # guard engaged below the cluster size: the hot buckets are dropped
+    # and reported; the small planted pair survives (its buckets hold 2)
+    stats = {}
+    capped = dedup.simhash_pairs_from_hashes(
+        hashed, max_hamming=8, max_bucket_size=5, capped_stats=stats
+    ).collect()
+    capped_pairs = {(r["a"], r["b"]) for r in capped}
+    assert stats["dropped_buckets"] > 0
+    assert stats["dropped_rows"] >= 12
+    assert stats["max_possible_pairs_dropped"] >= 66
+    assert (100, 101) in capped_pairs
+    assert not any(a <= 12 and b <= 12 for a, b in capped_pairs)

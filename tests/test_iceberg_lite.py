@@ -412,3 +412,42 @@ def test_maintain_tables_compact_then_expire_reclaims_files(spark, tmp_path):
     # untracked root is reported, not crashed on
     missing = str(tmp_path / "nope")
     assert maintain_tables(spark, [missing])[missing]["reason"] == "no table"
+
+
+def test_file_skipping_stats_prune_selective_read(spark, tmp_path):
+    """r05 verdict next-step #5: per-file min/max stats recorded at write
+    time let read(where=...) scan a strict SUBSET of files with identical
+    results. Files get disjoint id ranges via repartitionByRange, so a
+    selective predicate must prune most of them."""
+    t = IcebergLiteTable(spark, str(tmp_path / "t"))
+    df = _df(spark, 0, 1000).repartitionByRange(8, "id")
+    sid = t.commit(df)
+    # stats landed in the snapshot summary, one entry per data file
+    fs = t._snapshot(sid)["summary"]["file_stats"]
+    assert len(fs) >= 4
+    assert all("id" in st and "v" in st for st in fs.values())
+
+    stats = {}
+    sel = t.read(where=("id", ">=", 900), scan_stats=stats)
+    assert stats["files_scanned"] < stats["files_total"]
+    assert stats["files_total"] >= 4
+    # identical results to the unpruned read with the same filter
+    full = sorted(r["id"] for r in t.read().where(F.col("id") >= 900).collect())
+    got = sorted(r["id"] for r in sel.collect())
+    assert got == full == list(range(900, 1000))
+
+    # append inherits parent files; pruning still sees the parent stats
+    t.commit(
+        _df(spark, 1000, 2000).repartitionByRange(8, "id"), operation="append"
+    )
+    stats2 = {}
+    sel2 = t.read(where=("id", "<", 100), scan_stats=stats2)
+    assert stats2["files_total"] > stats["files_total"]
+    assert stats2["files_scanned"] < stats2["files_total"]
+    assert sorted(r["id"] for r in sel2.collect()) == list(range(100))
+
+    # a predicate nothing satisfies: zero rows, schema intact
+    stats3 = {}
+    empty = t.read(where=("id", ">", 10**9), scan_stats=stats3)
+    assert stats3["files_scanned"] == 0 and empty.count() == 0
+    assert set(empty.columns) == {"id", "v"}
