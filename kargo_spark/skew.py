@@ -17,15 +17,33 @@ from pyspark.sql import functions as F
 
 
 def size_bucketed(
-    df: DataFrame, payload_col: str, n_partitions: int | None = None, salt_buckets: int = 64
+    df: DataFrame,
+    payload_col: str,
+    n_partitions: int | None = None,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Repartition by (log2 size bucket, hash salt). Documents of similar
     size co-locate (uniform Arrow batch cost) while the salt spreads each
-    bucket across the cluster."""
+    bucket across the cluster.
+
+    The salt is derived from the PAYLOAD column and defaults to 32x the
+    partition count — both halves were the r05 8->32 scaling-tail root
+    cause (guide §2.5: a synthetic partitioning key needs 20-100x more
+    distinct values than partitions, or hash collisions leave some
+    partitions holding several buckets and others empty). The old salt
+    hashed the FIRST column — the repo id, ~20 distinct values on the
+    scaling corpus — into 64 buckets, so the Python stages ran at <= 20
+    effective partitions with up to 4x record skew no matter how many
+    partitions were requested (measured: tokenize-stage tail ratio 3.5,
+    max-task 22 s vs median 6.3 s, at 8 cores / 20k docs; at local[32]'s
+    128 requested partitions most were simply empty). Hashing the payload
+    gives ~one salt per document: same shuffle, uniform occupancy."""
     spark = df.sparkSession
     n = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if salt_buckets is None:
+        salt_buckets = 32 * n
     bucket = F.floor(F.log2(F.greatest(F.length(F.col(payload_col)), F.lit(1))))
-    salt = F.pmod(F.abs(F.xxhash64(*[F.col(c) for c in df.columns[:1]])), F.lit(salt_buckets))
+    salt = F.pmod(F.abs(F.xxhash64(F.col(payload_col))), F.lit(salt_buckets))
     return (
         df.withColumn("__size_bucket", bucket)
         .withColumn("__salt", salt)
