@@ -11,10 +11,12 @@ Modes:
                        prefix of the docs->triples chain timed to a noop sink
                        (prefix deltas locate the expensive stage).
   --checksum-rep       one pipeline rep on the scaling corpus recording an
-                       ORDER-INSENSITIVE CONTENT checksum (sum of xxhash64
-                       over canonicalized triple rows), not just the count —
-                       the evidence the r05 ADVICE asked for behind the
-                       "same triples at any parallelism" claim.
+                       ORDER-INSENSITIVE CONTENT checksum (bit_xor of
+                       xxhash64 over canonicalized triple rows — xor, not
+                       sum, because sum(long) overflows under ANSI mode),
+                       not just the count — the evidence the r05 ADVICE
+                       asked for behind the "same triples at any
+                       parallelism" claim.
 
 Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, KARGO_BENCH_REPS as in bench.py.
 """
@@ -146,8 +148,10 @@ def run_stages() -> dict:
 
 def run_checksum_rep() -> dict:
     """Pipeline rep on the synthetic scaling corpus with a content checksum:
-    sum of xxhash64 over canonicalized triple rows (order-insensitive), so
-    cross-parallelism reps can be compared at content level, not count."""
+    bit_xor of xxhash64 over canonicalized triple rows (order-insensitive,
+    overflow-free under ANSI), so cross-parallelism reps can be compared at
+    content level, not count. Triple rows are unique post-aggregation, so
+    xor cannot cancel legitimate duplicates."""
     from pyspark.sql import functions as F
 
     from kargo_spark.pipeline import triples_chain
@@ -172,7 +176,7 @@ def run_checksum_rep() -> dict:
         F.xxhash64(
             "subj", "pred", "obj", F.col("support").cast("string")
         ).alias("h")
-    ).agg(F.count(F.lit(1)).alias("n"), F.sum("h").alias("checksum")).collect()[0]
+    ).agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("checksum")).collect()[0]
     dt = time.time() - t0
     for c in cached:
         c.unpersist()
