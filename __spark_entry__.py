@@ -140,12 +140,17 @@ def q_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+def _tf(
+    spark: SparkSession, sf_dir: str, cands: DataFrame | None = None
+) -> DataFrame:
+    """Per-(doc, word>=3) occurrence counts — read off the persisted
+    candidate cache instead of a fresh parquet scan+explode (r06: the
+    candidates table IS the len>=3 word-occurrence multiset, so the
+    groupBy is identical; one less documents scan per consumer)."""
+    if cands is None:
+        cands = _unigram_candidates(spark, sf_dir)
     return (
-        d.select("doc_id", F.explode(_toks(F.col("text"))).alias("word"))
-        .filter(F.length("word") >= 3)
-        .groupBy("doc_id", "word")
+        cands.groupBy("doc_id", F.col("term").alias("word"))
         .agg(F.count(F.lit(1)).alias("tf"))
     )
 
@@ -205,15 +210,21 @@ def _bigram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_tfidf_topk(
+    spark: SparkSession, sf_dir: str, cands: DataFrame | None = None
+) -> DataFrame:
     """tf-idf + top-5 through the LIBRARY path (weighting.document_frequency
     -> tfidf_scores -> top_k_terms; pke TfIdf main.py:107-110 + get_n_best
     terms.py:171). The only query-side shim is a round(score, 6) between
     scoring and ranking so cross-engine 1-ulp log2 noise cannot flip ranks
-    at mathematical ties (e.g. 2*log2(N/50) == log2(N²/2500))."""
+    at mathematical ties (e.g. 2*log2(N/50) == log2(N²/2500)).
+    ``cands`` lets q_eval_suite share ONE candidate DSL build across the
+    suite's consumers (r06: each _unigram_candidates call is ~0.14 s of
+    py4j round-trips; identical canonical plan either way)."""
     from kargo_spark.weighting import document_frequency, tfidf_scores, top_k_terms
 
-    cands = _unigram_candidates(spark, sf_dir)
+    if cands is None:
+        cands = _unigram_candidates(spark, sf_dir)
     df_tab, n_docs = document_frequency(cands)
     scored = tfidf_scores(cands, df_tab, n_docs).withColumn(
         "score", F.round("score", 6)
@@ -628,15 +639,39 @@ def q_pair_npmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", "n_ab", F.round("npmi", 6).alias("npmi"))
 
 
-def q_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _gold_terms(
+    spark: SparkSession, sf_dir: str, alias: str,
+    cands: DataFrame | None = None,
+) -> DataFrame:
+    """Distinct (doc_id, word of length >= 8) gold set — derived from the
+    persisted candidate cache (its len>=3 multiset is a superset, and
+    explode(array_distinct(toks)) filtered to len>=8 equals
+    explode(toks).filter(len>=8).distinct()) instead of a fresh parquet
+    scan+explode per eval part (r06: two scans removed from eval_suite)."""
+    if cands is None:
+        cands = _unigram_candidates(spark, sf_dir)
+    return (
+        cands.filter(F.length("term") >= 8)
+        .select("doc_id", F.col("term").alias(alias))
+        .distinct()
+    )
+
+
+def q_precision_at_k(
+    spark: SparkSession, sf_dir: str, preds: DataFrame | None = None,
+    cands: DataFrame | None = None,
+) -> DataFrame:
     """P@k (evaluation.py:44-52): preds = tf-idf top-5 words per doc, gold =
     words of length >= 8 occurring in the doc; cumulative correct / k,
-    averaged per k over docs (mean ± population σ, evaluation.py:84)."""
-    preds = q_tfidf_topk(spark, sf_dir)
-    d = _docs(spark, sf_dir)
-    gold = d.select(
-        "doc_id", F.explode(F.array_distinct(_toks(F.col("text")))).alias("word")
-    ).filter(F.length("word") >= 8)
+    averaged per k over docs (mean ± population σ, evaluation.py:84).
+
+    ``preds`` lets q_eval_suite build the tf-idf ranker chain ONCE for
+    both parts (r06: the duplicated build ran document_frequency's eager
+    n_docs collect twice per suite invocation — pure Python/planning
+    dedup, the executed union plan and rows are unchanged)."""
+    if preds is None:
+        preds = q_tfidf_topk(spark, sf_dir)
+    gold = _gold_terms(spark, sf_dir, "word", cands=cands)
     marked = preds.join(
         gold.withColumn("is_correct", F.lit(1)), ["doc_id", "word"], "left"
     ).fillna({"is_correct": 0})
@@ -652,12 +687,19 @@ def q_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _two_method_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two ranked prediction lists per doc: tf-idf top-5 and raw-tf top-5."""
-    tfidf = q_tfidf_topk(spark, sf_dir).select(
+def _two_method_preds(
+    spark: SparkSession, sf_dir: str, tfidf_preds: DataFrame | None = None,
+    cands: DataFrame | None = None,
+) -> DataFrame:
+    """Two ranked prediction lists per doc: tf-idf top-5 and raw-tf top-5.
+    ``tfidf_preds``/``cands`` share one ranker/candidate build across
+    eval parts (r06)."""
+    if tfidf_preds is None:
+        tfidf_preds = q_tfidf_topk(spark, sf_dir)
+    tfidf = tfidf_preds.select(
         "doc_id", F.lit("tfidf").alias("method"), F.col("rank"), F.col("word").alias("term")
     )
-    tf = _tf(spark, sf_dir)
+    tf = _tf(spark, sf_dir, cands=cands)
     w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.col("word"))
     freq = (
         tf.withColumn("rank", F.row_number().over(w))
@@ -667,17 +709,19 @@ def _two_method_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf.unionByName(freq)
 
 
-def q_relative_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_relative_recall(
+    spark: SparkSession, sf_dir: str, preds: DataFrame | None = None,
+    cands: DataFrame | None = None,
+) -> DataFrame:
     """Pooled relative recall@k (evaluation.py:54-73): per (doc, k), each
     method's cumulative correct count over the distinct union of BOTH
     methods' correct terms at k. Gold = words of length >= 8 in the doc.
     Count-based formulation (predictions are distinct per method), so the
-    cross-method pool is a distinct-count — no arrays, pure SQL shape."""
-    preds = _two_method_preds(spark, sf_dir)
-    d = _docs(spark, sf_dir)
-    gold = d.select(
-        "doc_id", F.explode(F.array_distinct(_toks(F.col("text")))).alias("term")
-    ).filter(F.length("term") >= 8)
+    cross-method pool is a distinct-count — no arrays, pure SQL shape.
+    ``preds`` shares the two-method table built once by q_eval_suite."""
+    if preds is None:
+        preds = _two_method_preds(spark, sf_dir)
+    gold = _gold_terms(spark, sf_dir, "term", cands=cands)
     marked = preds.join(
         gold.withColumn("is_correct", F.lit(1)), ["doc_id", "term"], "left"
     ).fillna({"is_correct": 0})
@@ -1446,20 +1490,31 @@ def q_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """precision_at_k + relative_recall: (part, method, k, mean_val,
     std_val, n_docs) — relative_recall has no std, pinned 0.0.
 
-    Left as the plain two-part composition: an r06 variant that built the
-    tf-idf predictions and gold set once, persisted them and passed them
-    to both parts measured a WASH (interleaved A/B, old 2.34-2.99 s vs
-    shared 2.46-3.24 s at sf0.1) — the persists force materializing
-    columns that count-pruning would skip, cancelling the saved planning;
-    the suite's residual cost is driver planning of the union tree, and
-    the ranker chain is already deduplicated across parts by the
-    persisted candidate table (see _unigram_candidates)."""
-    p = q_precision_at_k(spark, sf_dir).select(
+    The tf-idf prediction chain is built ONCE and shared lazily by both
+    parts (r06, second iteration). An earlier variant that additionally
+    PERSISTED the shared preds+gold measured a wash (the persists force
+    materializing columns count-pruning would skip) and was rejected; the
+    kept form adds no persist — the executed union plan and its rows are
+    identical to the unshared composition — but halves the Python build
+    of the ranker DSL and runs document_frequency's eager n_docs collect
+    once per suite invocation instead of twice (the build phase was
+    ~2.0 s of the suite's ~3.5 s bench wall: measured /tmp decomposition,
+    jobs launched during construction). gold and raw-tf now also derive
+    from the persisted candidate cache instead of fresh parquet
+    scans+explodes (see _gold_terms / _tf)."""
+    cands = _unigram_candidates(spark, sf_dir)
+    tfidf_preds = q_tfidf_topk(spark, sf_dir, cands=cands)
+    p = q_precision_at_k(
+        spark, sf_dir, preds=tfidf_preds, cands=cands
+    ).select(
         F.lit("precision_at_k").alias("part"), F.lit("").alias("method"),
         "k", F.col("mean_precision").alias("mean_val"),
         F.col("std_precision").alias("std_val"), "n_docs",
     )
-    r = q_relative_recall(spark, sf_dir).select(
+    r = q_relative_recall(
+        spark, sf_dir, cands=cands,
+        preds=_two_method_preds(spark, sf_dir, tfidf_preds, cands=cands),
+    ).select(
         F.lit("relative_recall").alias("part"), "method",
         "k", F.col("mean_recall").alias("mean_val"),
         F.lit(0.0).alias("std_val"), "n_docs",
