@@ -134,7 +134,10 @@ def q_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = d.select(
         "doc_id", F.explode(_toks(F.col("text"))).alias("lemma_term")
     )
-    df_tab, _ = document_frequency(cands)
+    # with_n_docs=False: this query discards the N scalar, and its cands
+    # are not persisted, so the eager collect was a pure extra
+    # scan+explode+countDistinct job per rep (r06)
+    df_tab, _ = document_frequency(cands, with_n_docs=False)
     return df_tab.filter(F.col("df") >= 2).select(
         F.col("ngram").alias("word"), "df"
     )
@@ -818,8 +821,12 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join
-    (kargo_spark.dedup.ngram_jaccard_pairs semantics, threshold 0.2)."""
-    d = _docs(spark, sf_dir)
+    (kargo_spark.dedup.ngram_jaccard_pairs semantics, threshold 0.2).
+    _docs_spread: the per-doc 3-gram derivation (split + sliding
+    array_join) is the same signature-heavy shape as minhash/simhash —
+    on the driver's single-row-group parquet it would otherwise run as
+    ONE task (r06, closing the 'not yet optimized' item)."""
+    d = _docs_spread(spark, sf_dir)
     toks = _toks(F.col("text"))
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
     grams = F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 3), " ")))

@@ -18,17 +18,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def document_frequency(cands: DataFrame, term_col: str = "lemma_term") -> tuple[DataFrame, int]:
+def document_frequency(
+    cands: DataFrame, term_col: str = "lemma_term", with_n_docs: bool = True
+) -> tuple[DataFrame, int | None]:
     """DF table: #docs containing each candidate n-gram, plus N (doc count).
 
     Parity: pke compute_document_frequency (main.py:91-94); the
     ``--NB_DOC--`` sentinel (data/interim/cargo_df.tsv.gz row 1) is
     returned as the scalar ``n_docs``. Catalyst gives partial+final agg.
+
+    ``with_n_docs=False`` skips the eager N collect and returns
+    ``(df_tab, None)`` — for consumers that only need the DF table (r06:
+    the collect is a full scan+explode+countDistinct job, wasted when the
+    scalar is discarded). Callers that rely on the collect as a cache
+    materialization barrier (pipeline.triples_chain's df_counts stage,
+    the ranker queries over the persisted candidate table) must keep the
+    default.
     """
     df_tab = (
         cands.groupBy(F.col(term_col).alias("ngram"))
         .agg(F.countDistinct("doc_id").alias("df"))
     )
+    if not with_n_docs:
+        return df_tab, None
     n_docs = cands.select(F.countDistinct("doc_id").alias("n")).collect()[0]["n"]
     return df_tab, int(n_docs)
 

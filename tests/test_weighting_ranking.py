@@ -39,6 +39,20 @@ def test_document_frequency_exact(spark):
     assert got["pharma shipment"] == 1
 
 
+def test_document_frequency_without_n_docs_skips_collect(spark):
+    """with_n_docs=False returns (df_tab, None) with an IDENTICAL DF table
+    — the r06 path for consumers that discard the N scalar (e.g. the
+    doc_frequency query), which otherwise paid a full eager
+    scan+explode+countDistinct job for nothing."""
+    _, cands = _cands(spark)
+    df_eager, n_docs = weighting.document_frequency(cands)
+    df_lazy, none = weighting.document_frequency(cands, with_n_docs=False)
+    assert none is None and n_docs == 3
+    eager = {(r["ngram"], r["df"]) for r in df_eager.collect()}
+    lazy = {(r["ngram"], r["df"]) for r in df_lazy.collect()}
+    assert eager == lazy
+
+
 def test_tfidf_score_formula(spark):
     _, cands = _cands(spark)
     df_tab, n_docs = weighting.document_frequency(cands)
