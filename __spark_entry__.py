@@ -536,8 +536,13 @@ def _phrase_mentions(spark: SparkSession, sf_dir: str, mod: int) -> DataFrame:
     after the length filter) from the doc slice doc_id % 20 == mod —
     the shared input of the link_entities query (entities from slice 0,
     mentions from slice 1, so some mention norms are absent from the
-    entity table and exercise the embedding / no-hit paths)."""
-    wp = _word_positions(spark, sf_dir).filter(
+    entity table and exercise the embedding / no-hit paths).
+    _docs_spread: the explode feeding the per-doc window otherwise runs
+    as ONE task on the single-row-group parquet (r06)."""
+    d = _docs_spread(spark, sf_dir)
+    wp = d.select(
+        "doc_id", F.posexplode(_toks(F.col("text"))).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word").filter(
         (F.length("word") >= 4) & (F.col("doc_id") % 20 == mod)
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -941,7 +946,8 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path against it is pytest-audited."""
     from kargo_spark.dedup import embedding_neardup_pairs
 
-    emb = _read(spark, sf_dir, "embeddings")
+    # _spread: single-row-group embeddings scan (see embedding_neardup_exact)
+    emb = _spread(_read(spark, sf_dir, "embeddings"))
     return embedding_neardup_pairs(emb, threshold=0.35, n_planes=4).select(
         "a", "b", F.round("cos", 4).alias("cos")
     )
@@ -1004,6 +1010,11 @@ def q_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-5, then recomputes the same recall numbers."""
     from kargo_spark.similarity import brute_force_topk, ivf_topk, lsh_topk
 
+    # left alone (r06): a _spread of this read AND a persist of `exact`
+    # (consumed 3x) were both measured — each a wash-to-loss at this
+    # query's size (its cost is per-path fixed jobs, not the scan; the
+    # persist's materialization barrier cost more than the 3x n*5-cosine
+    # recompute it saved)
     emb = _read(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") >= 5)
     queries_df = emb.filter(F.col("vec_id") < 5).select(
@@ -1253,10 +1264,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs (the parity baseline for the LSH-blocked
     ``embedding_neardup``): all-pairs cosine >= 0.35 over the embeddings
-    table. O(n²) on purpose — correctness oracle, not the scale path."""
+    table. O(n²) on purpose — correctness oracle, not the scale path.
+    _spread: the nested-loop join streams the single-row-group embeddings
+    scan, so the whole O(n²) interpreted-HOF cosine ran on ONE task
+    (r06: noop 54.9 -> ~4 s at sf0.1)."""
     from kargo_spark.dedup import embedding_pairs_exact
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _spread(_read(spark, sf_dir, "embeddings"))
     return embedding_pairs_exact(emb, threshold=0.35).select(
         "a", "b", F.round("cos", 4).alias("cos")
     )

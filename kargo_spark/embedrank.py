@@ -97,6 +97,8 @@ def embedrank_scores(
     """docs(doc_id, content) x candidates -> MMR-ranked terms per doc,
     near-duplicate candidates (cosine >= alias_threshold) collapsed into
     the selected term's '|'-joined ``aliases`` column."""
+    from .graph_rank import _spread_groups
+
     cand_part = cands.select(
         "doc_id", F.col("lemma_term").alias("ngram"), "term"
     ).dropDuplicates(["doc_id", "ngram"])
@@ -105,4 +107,10 @@ def embedrank_scores(
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _mmr_doc(pdf, n, beta, dim, seed, alias_threshold)
 
-    return joined.groupBy("doc_id").applyInPandas(fn, _embedrank_schema(docs))
+    # _spread_groups: same AQE byte-based-coalescing trap as the per-doc
+    # graph rankers — the MMR stage is CPU-dense on a byte-light input
+    # (r06: noop wall 16.2 s at sf0.1 with the stage folded onto 1-2
+    # tasks); see graph_rank._spread_groups.
+    return _spread_groups(joined).groupBy("doc_id").applyInPandas(
+        fn, _embedrank_schema(docs)
+    )

@@ -89,7 +89,16 @@ def link_mentions(
     this stage end-to-end (exact-hit, embedding-hit and no-hit rows).
     """
     embed = make_embedder(dim=dim, seed=seed)
-    m = mentions.withColumn("__norm", normalize_surface(F.col(term_col)))
+    # PERSISTED fan-out bases (r06): the naive composition re-executed the
+    # full upstream chain per plan reference — the mention subtree 5x (the
+    # exact-hit branch, the three LSH tables, the final left join) and the
+    # entity subtree 4x (exact join + three LSH tables), each recomputing
+    # its window/normalization lineage, and the embedder ran once PER LSH
+    # TABLE per side (noop-isolated link_entities at sf0.1: ~110 s).
+    # Persisting the three narrow bases makes every chain run once
+    # (~8 s); identical rows — the plan fan-out was pure recomputation.
+    entities = entities.persist()
+    m = mentions.withColumn("__norm", normalize_surface(F.col(term_col))).persist()
     # cheap path: exact normalized match
     exact = m.join(
         entities.select(F.col("norm").alias("__norm"), "entity_id"), "__norm", "left"
@@ -101,16 +110,21 @@ def link_mentions(
     # no isEmpty() probe here: that is an extra Spark job on every call;
     # when miss is empty the embedding path below is a cheap no-op branch
     # of the same plan (r01 minor #7)
-    # embedding path, LSH-blocked
+    # embedding path, LSH-blocked. Embed ONCE per distinct surface (the
+    # LSH candidate only needs (__norm, vec): doc_id/term were dead
+    # columns in the old per-table dedup — best joins back on __norm) and
+    # share the embedded base across the 3 banding tables.
     ent_v = entities.select(
         "entity_id", F.col("norm").alias("__enorm")
-    ).withColumn("evec", embed(F.col("__enorm")))
-    miss_v = miss.withColumn("mvec", embed(F.col("__norm")))
+    ).withColumn("evec", embed(F.col("__enorm"))).persist()
+    miss_v = (
+        miss.select("__norm").dropDuplicates(["__norm"])
+        .withColumn("mvec", embed(F.col("__norm"))).persist()
+    )
     mb, eb = None, None
     for t in range(3):
         mb_t = _lsh_buckets(
-            miss_v.select("doc_id", term_col, "__norm", "mvec").dropDuplicates(["__norm"]),
-            "mvec", n_planes, seed + 31 * t, dim, dist=lsh_dist,
+            miss_v, "mvec", n_planes, seed + 31 * t, dim, dist=lsh_dist,
         ).withColumn("table", F.lit(t))
         eb_t = _lsh_buckets(
             ent_v, "evec", n_planes, seed + 31 * t, dim, dist=lsh_dist
