@@ -249,8 +249,12 @@ def q_kpminer_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     make n_multi (and therefore the boost) non-degenerate."""
     from kargo_spark.weighting import document_frequency, kpminer_scores, top_k_terms
 
+    # bigram side persisted too (r06): the union is consumed three times
+    # (df table, eager n_docs collect, tf path) — the unigram half hits
+    # the shared candidate cache but the bigram explode+lead-window chain
+    # re-ran per consumer
     cands = _unigram_candidates(spark, sf_dir).unionByName(
-        _bigram_candidates(spark, sf_dir)
+        _bigram_candidates(spark, sf_dir).persist()
     )
     df_tab, n_docs = document_frequency(cands)
     scored = kpminer_scores(
