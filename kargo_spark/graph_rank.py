@@ -57,6 +57,55 @@ def _pagerank_numpy(adj: np.ndarray, personalization: np.ndarray | None = None,
     return r
 
 
+def _window_graph_ref(seq_words, seq_glob_idx, vocab, window: int):
+    """Reference (loop) builder of the window co-occurrence graph +
+    position personalization — kept as the parity oracle for the
+    vectorized ``_window_graph`` (a pytest asserts exact equality on
+    randomized docs; the yake _yake_word_scores_ref convention)."""
+    n = len(vocab)
+    adj = np.zeros((n, n))
+    pers = np.zeros(n)
+    for i, (w, gi) in enumerate(zip(seq_words, seq_glob_idx)):
+        wi = vocab[w]
+        pers[wi] += 1.0 / (gi + 1)
+        j = i + 1
+        while j < len(seq_words) and seq_glob_idx[j] - gi < window:
+            wj = vocab[seq_words[j]]
+            if wj != wi:
+                adj[wi, wj] += 1.0
+                adj[wj, wi] += 1.0
+            j += 1
+    return adj, pers
+
+
+def _window_graph(seq_words, seq_glob_idx, vocab, window: int):
+    """Vectorized window co-occurrence graph — bitwise-identical to
+    ``_window_graph_ref`` (adjacency entries are exact integer counts;
+    ``np.add.at`` applies the personalization increments in the same
+    ascending-position order as the loop) but O(window) numpy passes
+    instead of an O(tokens x window) Python inner loop: the loop was
+    ~25M interpreter iterations per sf0.1 pass of singlerank (r06)."""
+    n = len(vocab)
+    adj = np.zeros((n, n))
+    pers = np.zeros(n)
+    if not len(seq_words):
+        return adj, pers
+    codes = np.array([vocab[w] for w in seq_words], dtype=np.int64)
+    gidx = np.asarray(seq_glob_idx, dtype=np.int64)
+    np.add.at(pers, codes, 1.0 / (gidx + 1.0))
+    # the loop's while-break equals "all j>i with glob gap < window"
+    # because seq_glob_idx is strictly increasing; gap >= lag, so lags
+    # beyond window-1 contribute nothing
+    for lag in range(1, min(window, len(codes))):
+        ok = (gidx[lag:] - gidx[:-lag]) < window
+        wi, wj = codes[:-lag][ok], codes[lag:][ok]
+        neq = wi != wj
+        wi, wj = wi[neq], wj[neq]
+        np.add.at(adj, (wi, wj), 1.0)
+        np.add.at(adj, (wj, wi), 1.0)
+    return adj, pers
+
+
 def _doc_rank(pdf: pd.DataFrame, window: int, position_bias: bool,
               iters: int = 50, tol: float = 1e-6) -> pd.DataFrame:
     """SingleRank (position_bias=False) / PositionRank (True) for one doc.
@@ -74,19 +123,7 @@ def _doc_rank(pdf: pd.DataFrame, window: int, position_bias: bool,
     seq_words = words[mask]
     seq_glob_idx = np.flatnonzero(mask)
     vocab = {w: i for i, w in enumerate(pd.unique(seq_words))}
-    n = len(vocab)
-    adj = np.zeros((n, n))
-    pers = np.zeros(n)
-    for i, (w, gi) in enumerate(zip(seq_words, seq_glob_idx)):
-        wi = vocab[w]
-        pers[wi] += 1.0 / (gi + 1)
-        j = i + 1
-        while j < len(seq_words) and seq_glob_idx[j] - gi < window:
-            wj = vocab[seq_words[j]]
-            if wj != wi:
-                adj[wi, wj] += 1.0
-                adj[wj, wi] += 1.0
-            j += 1
+    adj, pers = _window_graph(seq_words, seq_glob_idx, vocab, window)
     ranks = _pagerank_numpy(adj, pers if position_bias else None, iters=iters, tol=tol)
     wscore = {w: ranks[i] for w, i in vocab.items()}
     out = []
@@ -171,7 +208,18 @@ def _topic_clusters(cands: pd.DataFrame, threshold: float = 0.25) -> list[list[i
     """Greedy agglomerative candidate clustering on word-overlap Jaccard
     (stand-in for pke's HAC over stem sets): candidates sharing >= threshold
     of words join a topic."""
-    word_sets = [set(t.split(" ")) for t in cands["term"].values]
+    terms = cands["term"].values
+    # singleton fast path (r06): DISTINCT single-word terms have pairwise
+    # word-overlap Jaccard exactly 0 < threshold, so every topic is a
+    # singleton — skip the O(n^2) Python set loop (the common shape when
+    # candidates are unigrams; duplicates or multi-word terms fall back)
+    if (
+        threshold > 0
+        and len(set(terms)) == len(terms)
+        and not any(" " in t for t in terms)
+    ):
+        return [[i] for i in range(len(terms))]
+    word_sets = [set(t.split(" ")) for t in terms]
     topics: list[list[int]] = []
     for i, ws in enumerate(word_sets):
         placed = False

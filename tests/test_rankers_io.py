@@ -248,3 +248,50 @@ def test_review_agreement_matches_reference_rollup(spark):
     agree = sum(n for (p, v), n in got.items() if p == v)
     disagree = sum(n for (p, v), n in got.items() if p != v)
     assert agree + disagree == sum(want.values())
+
+
+def test_window_graph_vectorized_matches_reference():
+    """r06: the vectorized window co-occurrence builder must be exactly
+    equal (adjacency AND personalization, bitwise) to the loop reference
+    on randomized docs — same convention as _yake_word_scores_ref."""
+    import numpy as np
+    import pandas as pd
+
+    from kargo_spark.graph_rank import _window_graph, _window_graph_ref
+
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        n_tok = int(rng.integers(0, 120))
+        vocab_words = [f"w{i}" for i in range(int(rng.integers(1, 18)))]
+        seq_words = np.array(
+            [vocab_words[int(rng.integers(0, len(vocab_words)))] for _ in range(n_tok)]
+        )
+        # strictly increasing global indices with random gaps (non-candidate
+        # tokens between candidates), like flatnonzero over a POS mask
+        gaps = rng.integers(1, 4, size=n_tok)
+        seq_glob_idx = np.cumsum(gaps) - 1
+        vocab = {w: i for i, w in enumerate(pd.unique(seq_words))}
+        window = int(rng.integers(2, 12))
+        adj_v, pers_v = _window_graph(seq_words, seq_glob_idx, vocab, window)
+        adj_r, pers_r = _window_graph_ref(seq_words, seq_glob_idx, vocab, window)
+        assert np.array_equal(adj_v, adj_r), f"adj mismatch trial {trial}"
+        assert np.array_equal(pers_v, pers_r), f"pers mismatch trial {trial}"
+
+
+def test_topic_clusters_singleton_fast_path_matches_loop():
+    """r06: distinct single-word terms take the singleton fast path; its
+    result must equal the generic loop's (all singletons), and inputs
+    with duplicate or multi-word terms must still go through the loop."""
+    import pandas as pd
+
+    from kargo_spark.graph_rank import _topic_clusters
+
+    singles = pd.DataFrame({"term": ["alpha", "beta", "gamma", "delta"]})
+    assert _topic_clusters(singles) == [[0], [1], [2], [3]]
+    # duplicate single words: Jaccard 1 >= threshold -> the loop merges
+    dups = pd.DataFrame({"term": ["alpha", "alpha", "beta"]})
+    assert _topic_clusters(dups) == [[0, 1], [2]]
+    # multi-word overlap >= 0.25 merges via the loop
+    multi = pd.DataFrame({"term": ["big cargo", "big cargo hub", "other thing"]})
+    got = _topic_clusters(multi)
+    assert got[0] == [0, 1] and [2] in got
