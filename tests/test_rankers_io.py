@@ -295,3 +295,18 @@ def test_topic_clusters_singleton_fast_path_matches_loop():
     multi = pd.DataFrame({"term": ["big cargo", "big cargo hub", "other thing"]})
     got = _topic_clusters(multi)
     assert got[0] == [0, 1] and [2] in got
+
+
+def test_spread_groups_width_killswitch_and_rows(spark, monkeypatch):
+    """r06: _spread_groups repartitions per-doc ranker input to the
+    session's default parallelism (AQE-coalescing-exempt), preserves rows
+    exactly, and KARGO_SPREAD_INPUT=off makes it a no-op."""
+    from kargo_spark.graph_rank import _spread_groups
+
+    df = spark.range(200).selectExpr("cast(id % 37 as string) doc_id", "id value")
+    before = sorted((r["doc_id"], r["value"]) for r in df.collect())
+    spread = _spread_groups(df)
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sorted((r["doc_id"], r["value"]) for r in spread.collect()) == before
+    monkeypatch.setenv("KARGO_SPREAD_INPUT", "off")
+    assert _spread_groups(df) is df
