@@ -1193,7 +1193,7 @@ def q_corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     query additionally certifies the cooccurrence_edges builder)."""
     from kargo_spark.graph_rank import cooccurrence_edges, distributed_pagerank
 
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     tok = d.select(
         "doc_id", F.posexplode(_toks(F.col("text"))).alias("i", "word")
     ).filter(F.length("word") >= 5)
@@ -1425,7 +1425,7 @@ def q_word_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 power iterations — is DuckDB-oracle-checkable)."""
     from kargo_spark.graph_rank import distributed_pagerank
 
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     w = d.select("doc_id", F.posexplode(_toks(F.col("text"))).alias("pos", "word"))
     nxt = w.withColumn(
         "nxt", F.lead("word").over(Window.partitionBy("doc_id").orderBy("pos"))
