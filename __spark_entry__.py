@@ -639,7 +639,7 @@ def q_pair_npmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighting between co-occurrence counting and the final store."""
     from kargo_spark.relations import pair_npmi
 
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     occ = d.select(
         "doc_id", F.posexplode(_toks(F.col("text"))).alias("i", "word")
     ).filter(F.length("word") >= 5)
@@ -1306,7 +1306,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold comparisons are engine-portable."""
     from kargo_spark.textstats import _tokens, quality_filter
 
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     # tokenize once (see q_lang_quality): the composite filter's quality
     # + repetition signals otherwise re-split the text ~10x
     d = d.select("doc_id", "text", _tokens(F.col("text")).alias("__t"))
